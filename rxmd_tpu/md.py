@@ -1,0 +1,239 @@
+"""MD engine: velocity-Verlet + QEq cadence + thermostats + observables.
+
+Single jitted step reproducing the reference main loop ordering exactly
+(ref: main.F90:37-100): thermostat -> half kick -> extended-Lagrangian charge
+DOF leapfrog -> drift -> [migration] -> QEq (every qstep) -> FORCE -> kinetic
+stress -> half kick.  The whole step, including the QEq CG while-loop and the
+neighbor rebuild, is one XLA computation; the host loop only handles printing
+and I/O cadence.
+"""
+from __future__ import annotations
+
+import functools
+import time
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import units, qeq, reax, neighbors
+from .config import RunConfig
+from .ffield import ForceField
+from .system import State
+
+
+def _round_up(x, m):
+    return int(-(-x // m) * m)
+
+
+class Engine:
+    """Single-device MD engine (the multi-device engine shards this same
+    step over a mesh — see parallel/)."""
+
+    def __init__(self, ff: ForceField, state: State, cfg: RunConfig,
+                 dtype=None):
+        self.ff = ff
+        self.cfg = cfg
+        self.dtype = dtype or jnp.dtype(cfg.dtype)
+        rctap = units.RCTAP0_PQEQ if cfg.isPQEq else units.RCTAP0
+        self.rctap = rctap
+        self.ffd = reax.ffdev_from(ff, dtype=self.dtype, rctap=rctap)
+        self.state = state.astype(self.dtype)
+
+        # time step and derived constants (ref: init.F90:66-69,102-108)
+        self.dt = cfg.dt_fs / units.UTIME
+        self.lex_w2 = 2.0 * cfg.Lex_k / self.dt / self.dt
+        self.dthm = jnp.asarray(self.dt * 0.5 / ff.mass, self.dtype)
+        self.hmas = jnp.asarray(0.5 * ff.mass, self.dtype)
+        self.treq_red = cfg.treq / units.UTEMP0
+
+        # image table sized for the taper cutoff + drift margin
+        H = np.asarray(state.H)
+        self.img = neighbors.make_image_table(
+            state.n, neighbors.nimg_for_cutoff(H, rctap), self.dtype)
+
+        # auto-size neighbor capacities from the initial configuration with
+        # headroom (the reference uses fixed caps MAXNEIGHBS/MAXNEIGHBS10,
+        # module.F90:81-82; we measure and pad)
+        kb, knb = cfg.kb_cap, cfg.knb_cap
+        if not (kb and knb):
+            probe = neighbors.build_neighbors_brute(
+                self.state.pos, self.state.H, self.state.types, self.img,
+                self.ffd.rc2b, self.ffd.rctap2, 32, 1024)
+            mb, mnb = neighbors.check_overflow(probe)
+            kb = kb or _round_up(int(mb * 1.5) + 2, 4)
+            knb = knb or min(_round_up(int(mnb * 1.3) + 8, 64), 2048)
+        self.kb, self.knb = kb, knb
+
+        self._step = jax.jit(self._make_step())
+        self._prepare = jax.jit(self._make_prepare())
+
+    # ------------------------------------------------------------------
+    def _build_nbrs(self, pos, H, types):
+        return neighbors.build_neighbors_brute(
+            pos, H, types, self.img, self.ffd.rc2b, self.ffd.rctap2,
+            self.kb, self.knb)
+
+    def _wrap(self, pos, H):
+        """Wrap positions into the primary cell (the reference keeps
+        coordinates in-box through migration PBC shifts, comm.F90:531-548)."""
+        Hi = jnp.linalg.inv(H)
+        frac = (pos @ Hi.T) % 1.0
+        return frac @ H.T
+
+    def _qeq_step(self, pos, q, qsfp, qsfv, H, types, nbrs):
+        cfg = self.cfg
+        if cfg.isQEq == 0:
+            return q, qsfp, qsfv, jnp.int32(0)
+        res = qeq.solve(pos, q, qsfp, H, types, self.img, nbrs, self.ffd,
+                        isqeq=cfg.isQEq, nmax=cfg.NMAXQEq, tol=cfg.QEq_tol,
+                        lex_fqs=cfg.Lex_fqs)
+        if cfg.isQEq == 1:
+            # fictitious charges re-seeded from pre-QEq q (ref: qeq.F90:42-43)
+            return res.q, q, jnp.zeros_like(qsfv), res.iters
+        return res.q, qsfp, qsfv, res.iters
+
+    def _forces(self, pos, q, H, types, gid, nbrs):
+        comps, f = reax.energy_and_forces(pos, q, H, types, gid, self.img,
+                                          nbrs, self.ffd)
+        if self.cfg.isEfield:
+            # constant-field force on core charges (ref: module.F90:359-383)
+            fe = -q * self.cfg.eFieldStrength * units.EEV_KCAL
+            f = f.at[:, self.cfg.eFieldDir].add(fe)
+        return comps, f
+
+    def _thermostat(self, s: State, do_scale):
+        """mdmode-dispatched velocity scaling (ref: main.F90:45-61)."""
+        cfg = self.cfg
+        v = s.vel
+        if cfg.mdmode == 4:
+            v = jnp.where(do_scale, cfg.vsfact * v, v)
+        elif cfg.mdmode == 5:
+            ke = jnp.sum(self.hmas[s.types] * jnp.sum(v * v, axis=1))
+            gke = ke / s.n
+            ctmp = (self.treq_red * units.UTEMP0) / (gke * units.UTEMP)
+            v = jnp.where(do_scale, jnp.sqrt(ctmp) * v, v)
+        elif cfg.mdmode == 7:
+            # per-element rescale to treq (ref: main.F90:722-763)
+            nso = self.hmas.shape[0]
+            cnt = jnp.zeros(nso, v.dtype).at[s.types].add(1.0)
+            ket = jnp.zeros(nso, v.dtype).at[s.types].add(
+                self.hmas[s.types] * jnp.sum(v * v, axis=1))
+            ctmp = jnp.where(cnt > 1.0, ket / jnp.maximum(cnt, 1.0), 1.0)
+            fac = jnp.where(
+                cnt > 1.0,
+                jnp.sqrt((self.treq_red * units.UTEMP0) / (ctmp * units.UTEMP)),
+                0.0)
+            v2 = fac[s.types][:, None] * v
+            v2 = self._zero_momentum(s.types, v2)
+            v = jnp.where(do_scale, v2, v)
+        elif cfg.mdmode == 8:
+            # rescale only if >5% off target (ref: main.F90:684-718)
+            ke = jnp.sum(self.hmas[s.types] * jnp.sum(v * v, axis=1)) / s.n
+            ctmp = jnp.sqrt((self.treq_red * units.UTEMP0) / (ke * units.UTEMP))
+            need = jnp.abs(ctmp - 1.0) > 0.05
+            v2 = self._zero_momentum(s.types, ctmp * v)
+            v = jnp.where(do_scale & need, v2, v)
+        return dataclasses.replace(s, vel=v)
+
+    def _zero_momentum(self, types, v):
+        """Remove center-of-mass momentum (ref: main.F90:766-797)."""
+        m = (2.0 * self.hmas)[types]
+        vcm = jnp.sum(m[:, None] * v, axis=0) / jnp.sum(m)
+        return v - vcm[None, :]
+
+    # ------------------------------------------------------------------
+    def _make_prepare(self):
+        """Initial QEq + FORCE before the main loop (ref: main.F90:27-32)."""
+        def prepare(s: State):
+            nbrs = self._build_nbrs(s.pos, s.H, s.types)
+            q, qsfp, qsfv, nq = self._qeq_step(
+                s.pos, s.q, s.qsfp, s.qsfv, s.H, s.types, nbrs)
+            comps, f = self._forces(s.pos, q, s.H, s.types, s.gid, nbrs)
+            s = dataclasses.replace(s, q=q, qsfp=qsfp, qsfv=qsfv)
+            return s, f, comps, nq
+        return prepare
+
+    def _make_step(self):
+        cfg = self.cfg
+        dt = self.dt
+
+        def step(s: State, f):
+            do_scale = (s.step % cfg.sstep) == 0
+            s = self._thermostat(s, do_scale)
+
+            # first half kick (ref: main.F90:64, vkick main.F90:192-207)
+            v = s.vel + self.dthm[s.types][:, None] * f
+            # extended-Lagrangian charge DOF leapfrog (ref: main.F90:67-68)
+            qsfv = s.qsfv + 0.5 * dt * self.lex_w2 * (s.q - s.qsfp)
+            qsfp = s.qsfp + dt * qsfv
+            # drift (ref: main.F90:72) + PBC wrap (migration analog)
+            pos = self._wrap(s.pos + dt * v, s.H)
+
+            nbrs = self._build_nbrs(pos, s.H, s.types)
+            do_qeq = (s.step % cfg.qstep) == 0
+            q, qsfp, qsfv, nq = jax.lax.cond(
+                do_qeq,
+                lambda: self._qeq_step(pos, s.q, qsfp, qsfv, s.H, s.types,
+                                       nbrs),
+                lambda: (s.q, qsfp, qsfv, jnp.int32(0)))
+
+            comps, f2 = self._forces(pos, q, s.H, s.types, s.gid, nbrs)
+
+            # second half kick (ref: main.F90:97-98)
+            v = v + self.dthm[s.types][:, None] * f2
+            qsfv = qsfv + 0.5 * dt * self.lex_w2 * (q - qsfp)
+
+            ke = jnp.sum(self.hmas[s.types] * jnp.sum(v * v, axis=1))
+            s2 = dataclasses.replace(
+                s, pos=pos, vel=v, q=q, qsfp=qsfp, qsfv=qsfv,
+                step=s.step + 1)
+            return s2, f2, comps, nq, ke
+        return step
+
+    # ------------------------------------------------------------------
+    def prepare(self):
+        s, f, comps, nq = self._prepare(self.state)
+        self.state = s
+        self.force = f
+        self.comps = comps
+        self.nqeq = nq
+        return comps
+
+    def printe_line(self):
+        """PRINTE-format observables (ref: main.F90:210-263)."""
+        s = self.state
+        n = s.n
+        ke = float(jnp.sum(self.hmas[s.types] * jnp.sum(s.vel * s.vel,
+                                                        axis=1))) / n
+        pe = np.asarray(self.comps) / n
+        te = ke + pe[0]
+        tt = ke * units.UTEMP
+        qq = float(s.q.sum())
+        return (f"MDstep: {int(s.step):9d} {te: .5E} {pe[0]: .5E} {ke: .5E} "
+                f"{pe[1]: .3E} {pe[2:5].sum(): .3E} {pe[5:8].sum(): .3E} "
+                f"{pe[8:10].sum(): .3E} {pe[10]: .3E} {pe[11:14].sum(): .3E} "
+                f"{tt:8.2f} {qq:8.2f} {int(self.nqeq):4d}")
+
+    def run(self, nsteps=None, log=print, writer=None):
+        """Host driver loop (ref: main.F90:37-103)."""
+        cfg = self.cfg
+        nsteps = nsteps if nsteps is not None else cfg.ntime_step
+        if not hasattr(self, "force"):
+            self.prepare()
+        t0 = time.time()
+        for k in range(nsteps):
+            if int(self.state.step) % cfg.pstep == 0 and log:
+                log(self.printe_line())
+            if writer is not None and int(self.state.step) % cfg.fstep == 0:
+                writer(self.state, self.comps)
+            out = self._step(self.state, self.force)
+            self.state, self.force, self.comps, self.nqeq, self._ke = out
+        jax.block_until_ready(self.state.pos)
+        wall = time.time() - t0
+        if log:
+            log(self.printe_line())
+            log(f"total (sec): {wall:.4f}  "
+                f"atom-steps/s: {self.state.n * nsteps / wall:.3e}")
+        return wall

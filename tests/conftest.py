@@ -1,18 +1,21 @@
 """Test configuration: run on CPU with 8 virtual devices and f64 enabled.
 
-The multi-device tests exercise the same shard_map code paths that run on a
-real TPU slice (the JAX analog of the reference's `nompi` serial backend is
-simply a 1-device mesh — same code path by construction, ref: nompi.f90).
+The environment's sitecustomize force-selects the axon TPU backend
+(jax_platforms="axon,cpu"); we override to pure CPU *before* any backend is
+initialized.  The multi-device tests exercise the same shard_map code paths
+that run on a real TPU slice (the JAX analog of the reference's `nompi`
+serial backend is a 1-device mesh — same code path by construction,
+ref: nompi.f90).
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 REF = "/root/reference"
