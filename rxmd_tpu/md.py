@@ -57,14 +57,25 @@ class Engine:
         # headroom (the reference uses fixed caps MAXNEIGHBS/MAXNEIGHBS10,
         # module.F90:81-82; we measure and pad)
         kb, knb = cfg.kb_cap, cfg.knb_cap
-        if not (kb and knb):
-            probe = neighbors.build_neighbors_brute(
-                self.state.pos, self.state.H, self.state.types, self.img,
-                self.ffd.rc2b, self.ffd.rctap2, 32, 1024)
-            mb, mnb = neighbors.check_overflow(probe)
-            kb = kb or _round_up(int(mb * 1.5) + 2, 4)
-            knb = knb or min(_round_up(int(mnb * 1.3) + 8, 64), 2048)
+        probe = neighbors.build_neighbors_brute(
+            self.state.pos, self.state.H, self.state.types, self.img,
+            self.ffd.rc2b, self.ffd.rctap2, 32, 1024)
+        mb, mnb = neighbors.check_overflow(probe)
+        kb = kb or _round_up(int(mb * 1.5) + 2, 4)
+        knb = knb or min(_round_up(int(mnb * 1.3) + 8, 64), 2048)
         self.kb, self.knb = kb, knb
+
+        # probe angle/torsion/hbond list occupancies for cap auto-sizing
+        probe2 = neighbors.build_neighbors_brute(
+            self.state.pos, self.state.H, self.state.types, self.img,
+            self.ffd.rc2b, self.ffd.rctap2, kb, knb)
+        tc = reax.term_counts(self.state.pos, self.state.H, self.state.types,
+                              self.state.gid, self.img, probe2, self.ffd)
+        self.caps = {
+            "ang": _round_up(int(tc["ang"] * 1.4) + 2, 4),
+            "tor": _round_up(int(tc["tor"] * 1.4) + 4, 8),
+            "hb": max(_round_up(int(tc["hb"] * 1.4) + 2, 4), 4),
+        }
 
         self._step = jax.jit(self._make_step())
         self._prepare = jax.jit(self._make_prepare())
@@ -96,7 +107,7 @@ class Engine:
 
     def _forces(self, pos, q, H, types, gid, nbrs):
         comps, f = reax.energy_and_forces(pos, q, H, types, gid, self.img,
-                                          nbrs, self.ffd)
+                                          nbrs, self.ffd, caps=self.caps)
         if self.cfg.isEfield:
             # constant-field force on core charges (ref: module.F90:359-383)
             fe = -q * self.cfg.eFieldStrength * units.EEV_KCAL

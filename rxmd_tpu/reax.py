@@ -367,6 +367,16 @@ def e_lnpr(types, img, nbrs, bo: BondOrder, lp: LonePair, amask,
     return (jnp.sum(w * pelp), jnp.sum(w * peover), jnp.sum(w * peunder))
 
 
+def _row_topk_slots(mask2d, cap):
+    """Per-row compaction: indices of up to `cap` True entries of a (n, S)
+    boolean mask, lowest index first.  Returns (idx (n,cap), valid (n,cap),
+    counts (n,)).  TPU-native replacement for the reference's dynamic
+    interaction enumeration loops — fixed shapes, data-parallel."""
+    vals, idx = jax.lax.top_k(mask2d.astype(jnp.int32), cap)
+    valid = vals > 0
+    return jnp.where(valid, idx, 0), valid, mask2d.sum(axis=1, dtype=jnp.int32)
+
+
 def _angle_cos(rij, rjk, mask):
     """cos(theta_ijk) = -rij.rjk/(|rij||rjk|) with reference clamping
     (ref: pot.F90:394-396)."""
@@ -377,107 +387,114 @@ def _angle_cos(rij, rjk, mask):
 
 
 def e_3body(pos, H, types, img, nbrs, bo: BondOrder, lp: LonePair, amask,
-            ffd: FFDev):
+            ffd: FFDev, cap: int = 16):
     """Valence angle + penalty + 3-body conjugation (ref: pot.F90:355-549).
 
-    Enumerates unordered slot pairs (i1 < k1) of every resident center j.
+    Unordered slot pairs (i1 < k1) of every resident center j are first
+    compacted into a per-atom padded angle list of capacity `cap` (built on
+    stop-gradient data), then the energy is evaluated per list entry —
+    O(N*cap) work instead of O(N*kb^2).
     """
     n, kb = nbrs.idxb.shape
     pose = ext_positions(pos, H, img)
     maskp = bo.mask
     idx = jnp.where(maskp, nbrs.idxb, 0)
     oj = img.owner[idx]
+    tj = types
+    tnbr = types[oj]                                   # (n, kb)
 
     bo0 = bo.bo[..., 0]
+    esub = units.CUTOF2_ESUB
+
+    # ---- list construction (non-differentiable)
+    bo0_sg = jax.lax.stop_gradient(bo0)
+    okb = (maskp & (bo0_sg > esub))
+    slot = jnp.arange(kb)
+    pm = (okb[:, :, None] & okb[:, None, :]
+          & (slot[:, None] < slot[None, :])[None]
+          & (bo0_sg[:, :, None] * bo0_sg[:, None, :] > esub)
+          & amask[:, None, None])
+    a3_full = ffd.inxn3[tnbr[:, :, None],
+                        jnp.broadcast_to(tj[:, None, None], pm.shape),
+                        tnbr[:, None, :]]
+    pm = pm & (a3_full >= 0)
+    s, valid, _ = _row_topk_slots(pm.reshape(n, kb * kb), cap)
+    a, c = s // kb, s % kb                              # (n, cap) slot pairs
+
+    # ---- per-entry gathers
+    row = jnp.arange(n)[:, None]
+    a3 = jnp.where(valid, a3_full[row, a, c], 0)
+    boij = bo0[row, a] - esub
+    bojk = bo0[row, c] - esub
+    idx_i = idx[row, a]
+    idx_k = idx[row, c]
+
     # center-j sums (ref: pot.F90:359-365)
     sum_bo8 = jnp.sum(jnp.where(maskp, -_powm(bo0, 8.0, maskp), 0.0), axis=1)
     prod_sbo = jnp.exp(sum_bo8)
     sum_sbo1 = jnp.sum(jnp.where(maskp, bo.bo[..., 2] + bo.bo[..., 3], 0.0),
                        axis=1)
-    tj = types
     delta_ang = bo.delta + ffd.Val[tj] - ffd.Valangle[tj]
 
-    # pair-slot grids: a = slot of i, c = slot of k, center j = row
-    boij = bo0[:, :, None] - units.CUTOF2_ESUB        # (n, a, 1)
-    bojk = bo0[:, None, :] - units.CUTOF2_ESUB        # (n, 1, c)
-    i1 = jnp.arange(kb)
-    pairmask = (maskp[:, :, None] & maskp[:, None, :]
-                & (i1[:, None] < i1[None, :])[None]
-                & (boij > 0.0) & (bojk > 0.0)
-                & (bo0[:, :, None] * bo0[:, None, :] > units.CUTOF2_ESUB)
-                & amask[:, None, None])
-
-    ti = types[oj][:, :, None]                         # type of i at slot a
-    tk = types[oj][:, None, :]
-    a3 = ffd.inxn3[ti, jnp.broadcast_to(tj[:, None, None], ti.shape), tk]
-    pairmask = pairmask & (a3 >= 0)
-    a3c = jnp.where(a3 >= 0, a3, 0)
-
-    ri = pose[idx]                                     # (n, kb, 3)
-    rij = (ri[:, :, None, :] - pos[:, None, None, :])  # i - j, (n, a, 1, 3)
-    rij = jnp.broadcast_to(rij, (n, kb, kb, 3))
-    rjk = (pos[:, None, None, :] - ri[:, None, :, :])  # j - k, (n, 1, c, 3)
-    rjk = jnp.broadcast_to(rjk, (n, kb, kb, 3))
-    cos_ijk, _, _ = _angle_cos(rij, rjk, pairmask)
+    rij = pose[idx_i] - pos[:, None, :]                # (n, cap, 3)
+    rjk = pos[:, None, :] - pose[idx_k]
+    cos_ijk, _, _ = _angle_cos(rij, rjk, valid)
     theta = jnp.arccos(cos_ijk)
 
-    boij_s = _safe(boij, pairmask)
-    bojk_s = _safe(bojk, pairmask)
+    boij_s = _safe(boij, valid)
+    bojk_s = _safe(bojk, valid)
 
     # --- PEval (ref: pot.F90:404-427)
-    pv4 = ffd.pval4[a3c]
-    pv3j = ffd.pval3[tj][:, None, None]
-    fn7ij = 1.0 - jnp.exp(-pv3j * _powm(boij_s, pv4, pairmask))
-    fn7jk = 1.0 - jnp.exp(-pv3j * _powm(bojk_s, pv4, pairmask))
-    da = delta_ang[:, None, None]
-    exp6 = jnp.exp(ffd.pval6[a3c] * da)
-    exp7 = jnp.exp(-ffd.pval7[a3c] * da)
+    pv4 = ffd.pval4[a3]
+    pv3j = ffd.pval3[tj][:, None]
+    fn7ij = 1.0 - jnp.exp(-pv3j * _powm(boij_s, pv4, valid))
+    fn7jk = 1.0 - jnp.exp(-pv3j * _powm(bojk_s, pv4, valid))
+    da = delta_ang[:, None]
+    exp6 = jnp.exp(ffd.pval6[a3] * da)
+    exp7 = jnp.exp(-ffd.pval7[a3] * da)
     trm8 = 1.0 + exp6 + exp7
-    pv5j = ffd.pval5[tj][:, None, None]
+    pv5j = ffd.pval5[tj][:, None]
     fn8j = pv5j - (pv5j - 1.0) * (2.0 + exp6) / trm8
 
-    sbo = (sum_sbo1[:, None, None]
-           + (1.0 - prod_sbo[:, None, None])
-           * (-da - ffd.pval8[a3c] * lp.nlp[:, None, None]))
-    pv9 = ffd.pval9[a3c]
+    sbo = (sum_sbo1[:, None]
+           + (1.0 - prod_sbo[:, None]) * (-da - ffd.pval8[a3]
+                                          * lp.nlp[:, None]))
+    pv9 = ffd.pval9[a3]
     sbo_s = jnp.clip(sbo, 0.0, 2.0)
     sbo2 = jnp.where(
         sbo <= 0.0, 0.0,
-        jnp.where(sbo <= 1.0, _powm(sbo_s, pv9, pairmask & (sbo > 0.0)),
+        jnp.where(sbo <= 1.0, _powm(sbo_s, pv9, valid & (sbo > 0.0)),
                   jnp.where(sbo <= 2.0,
                             2.0 - _powm(2.0 - sbo_s, pv9,
-                                        pairmask & (sbo < 2.0)), 2.0)))
-    theta0 = jnp.pi - ffd.theta00[a3c] * (
-        1.0 - jnp.exp(-ffd.pval10[a3c] * (2.0 - sbo2)))
+                                        valid & (sbo < 2.0)), 2.0)))
+    theta0 = jnp.pi - ffd.theta00[a3] * (
+        1.0 - jnp.exp(-ffd.pval10[a3] * (2.0 - sbo2)))
     tdiff = theta0 - theta
-    exp2 = jnp.exp(-ffd.pval2[a3c] * tdiff * tdiff)
-    peval = fn7ij * fn7jk * fn8j * (ffd.pval1[a3c] - ffd.pval1[a3c] * exp2)
+    exp2 = jnp.exp(-ffd.pval2[a3] * tdiff * tdiff)
+    peval = fn7ij * fn7jk * fn8j * (ffd.pval1[a3] - ffd.pval1[a3] * exp2)
 
     # --- PEpen (ref: pot.F90:460-466)
-    dj = bo.delta[:, None, None]
-    exp_pen3 = jnp.exp(-ffd.ppen3[a3c] * dj)
-    exp_pen4 = jnp.exp(ffd.ppen4[a3c] * dj)
+    dj = bo.delta[:, None]
+    exp_pen3 = jnp.exp(-ffd.ppen3[a3] * dj)
+    exp_pen4 = jnp.exp(ffd.ppen4[a3] * dj)
     fn9 = (2.0 + exp_pen3) / (1.0 + exp_pen3 + exp_pen4)
-    pepen = (ffd.ppen1[a3c] * fn9
-             * jnp.exp(-ffd.ppen2[a3c] * (boij - 2.0) ** 2)
-             * jnp.exp(-ffd.ppen2[a3c] * (bojk - 2.0) ** 2))
+    pepen = (ffd.ppen1[a3] * fn9
+             * jnp.exp(-ffd.ppen2[a3] * (boij - 2.0) ** 2)
+             * jnp.exp(-ffd.ppen2[a3] * (bojk - 2.0) ** 2))
 
     # --- PEcoa (ref: pot.F90:479-489)
-    delta_i = bo.delta[oj]
-    vali = ffd.Val[types[oj]]
-    sum_boi = (delta_i + vali)[:, :, None]
-    sum_bok = (delta_i + vali)[:, None, :]
-    delta_val = (bo.delta + ffd.Val[tj] - ffd.Valval[tj])[:, None, None]
-    pecoa = (ffd.pcoa1[a3c] / (1.0 + jnp.exp(ffd.pcoa2[a3c] * delta_val))
-             * jnp.exp(-ffd.pcoa3[a3c] * (-boij + sum_boi) ** 2)
-             * jnp.exp(-ffd.pcoa3[a3c] * (-bojk + sum_bok) ** 2)
-             * jnp.exp(-ffd.pcoa4[a3c] * (boij - 1.5) ** 2)
-             * jnp.exp(-ffd.pcoa4[a3c] * (bojk - 1.5) ** 2))
+    dv = bo.delta[img.owner[idx_i]] + ffd.Val[types[img.owner[idx_i]]]
+    dk = bo.delta[img.owner[idx_k]] + ffd.Val[types[img.owner[idx_k]]]
+    delta_val = (bo.delta + ffd.Val[tj] - ffd.Valval[tj])[:, None]
+    pecoa = (ffd.pcoa1[a3] / (1.0 + jnp.exp(ffd.pcoa2[a3] * delta_val))
+             * jnp.exp(-ffd.pcoa3[a3] * (-boij + dv) ** 2)
+             * jnp.exp(-ffd.pcoa3[a3] * (-bojk + dk) ** 2)
+             * jnp.exp(-ffd.pcoa4[a3] * (boij - 1.5) ** 2)
+             * jnp.exp(-ffd.pcoa4[a3] * (bojk - 1.5) ** 2))
 
-    w = pairmask
-    return (jnp.sum(jnp.where(w, peval, 0.0)),
-            jnp.sum(jnp.where(w, pepen, 0.0)),
-            jnp.sum(jnp.where(w, pecoa, 0.0)))
+    return (jnp.sum(jnp.where(valid, peval, 0.0)),
+            jnp.sum(jnp.where(valid, pepen, 0.0)),
+            jnp.sum(jnp.where(valid, pecoa, 0.0)))
 
 
 def _unit_cross(u, v, mask):
@@ -489,107 +506,112 @@ def _unit_cross(u, v, mask):
     return c, nrm
 
 
+def _torsion_mask(types, gid, img, nbrs, bo: BondOrder, amask, ffd: FFDev):
+    """Dense (n, a, c, e) torsion validity mask on stop-gradient data
+    (all reference enumeration gates, ref: pot.F90:1019-1081)."""
+    n, kb = nbrs.idxb.shape
+    maskp = bo.mask
+    idx = jnp.where(maskp, nbrs.idxb, 0)
+    oj = img.owner[idx]
+    esub = units.CUTOF2_ESUB
+    bo_sg = jax.lax.stop_gradient(bo.bo[..., 0])
+    shift_k = img.shift[idx]
+    idx_le = jnp.where(maskp, nbrs.idxb, 0)[oj]        # (n, c, e)
+    mask_le = maskp[oj]
+    bokl_sg = bo_sg[oj]
+    own_l = img.owner[idx_le]
+    shf_l = img.shift[idx_le] + shift_k[:, :, None, :]
+
+    def A(x):
+        return x[:, :, None, None]
+
+    def C(x):
+        return x[:, None, :, None]
+
+    def E(x):
+        return x[:, None, :, :]
+
+    mask_jk = (maskp & (gid[:, None] < gid[oj]) & (bo_sg > esub)
+               & amask[:, None])
+    same_ik = (jnp.arange(kb)[:, None]
+               == jnp.arange(kb)[None, :])[None, :, :, None]
+    mask4 = (A(maskp & (bo_sg > esub)) & C(mask_jk)
+             & E(mask_le & (bokl_sg > esub))
+             & (bo_sg[:, :, None, None] * bo_sg[:, None, :, None] > esub)
+             & (bo_sg[:, None, :, None] * E(bokl_sg) > esub)
+             & ~same_ik
+             & (bo_sg[:, :, None, None] * bo_sg[:, None, :, None] ** 2
+                * E(bokl_sg) > units.MINBO0))
+    il_same = ((A(oj) == E(own_l))
+               & jnp.all(img.shift[idx][:, :, None, None, :]
+                         == shf_l[:, None, :, :, :], axis=-1))
+    jl_same = ((jnp.arange(n)[:, None, None, None] == E(own_l))
+               & jnp.all(shf_l == 0.0, axis=-1)[:, None, :, :])
+    mask4 = mask4 & ~il_same & ~jl_same
+    t4_full = ffd.inxn4[A(types[oj]), types[:, None, None, None],
+                        C(types[oj]), E(types[own_l])]
+    mask4 = mask4 & (t4_full >= 0)
+    return mask4, t4_full
+
+
 def e_4body(pos, H, types, img, nbrs, bo: BondOrder, amask, gid,
-            ffd: FFDev):
+            ffd: FFDev, cap: int = 48):
     """Torsion + 4-body conjugation (ref: pot.F90:1012-1219).
 
     Enumeration: resident center j, bond slot c -> k (counted once via
-    gid(j) < gid(k)), slot a -> i in j's list, slot l in owner(k)'s list
-    shifted by k's image shift.
+    gid(j) < gid(k)), slot a -> i in j's list, slot e -> l in owner(k)'s
+    list translated by k's image shift.  Valid (a,c,e) triples per center
+    are compacted into a per-atom list of capacity `cap`.
     """
     n, kb = nbrs.idxb.shape
     pose = ext_positions(pos, H, img)
     maskp = bo.mask
     idx = jnp.where(maskp, nbrs.idxb, 0)
-    oj = img.owner[idx]                     # (n, kb)
+    oj = img.owner[idx]                     # (n, kb) neighbor owners
     bo0 = bo.bo[..., 0]
     esub = units.CUTOF2_ESUB
 
     tj = types
     delta_ang = bo.delta + ffd.Val[tj] - ffd.Valangle[tj]
 
-    # --- bond j-k (axis c)
-    ok = oj                                            # owner of k per slot
     shift_k = img.shift[idx]                           # (n, kb, 3)
-    mask_jk = maskp & (gid[:, None] < gid[ok]) & (bo0 > esub) & amask[:, None]
+    mask4, t4_full = _torsion_mask(types, gid, img, nbrs, bo, amask, ffd)
+    s, valid, _ = _row_topk_slots(mask4.reshape(n, kb * kb * kb), cap)
+    a = s // (kb * kb)
+    c = (s // kb) % kb
+    e = s % kb
 
-    # --- i side (axis a): slot in j's list
-    # --- l side (axis e): slot in owner(k)'s list, translated by shift_k
-    idx_l = jnp.where(maskp, nbrs.idxb, 0)[ok]         # (n, c, e)
-    mask_l = maskp[ok]                                 # (n, c, e)
-    bo0_kl = bo0[ok]                                   # (n, c, e)
+    # ---- per-entry gathers, all (n, cap)
+    row = jnp.arange(n)[:, None]
+    t4 = jnp.where(valid, t4_full[row, a, c, e], 0)
+    ok = oj[row, c]
+    boij = bo0[row, a] - esub
+    bojk = bo0[row, c] - esub
+    bokl = bo0[ok, e] - esub
+    bo_pi_jk = bo.bo[..., 2][row, c]
+    idx_i = idx[row, a]
+    idx_k = idx[row, c]
+    idx_l = jnp.where(maskp, nbrs.idxb, 0)[ok, e]
+    shk = shift_k[row, c]                              # (n, cap, 3)
 
-    # identities for exclusion tests: (owner, total shift)
-    own_i = oj                                         # (n, a)
-    shf_i = img.shift[idx]                             # (n, a, 3)
-    own_l = img.owner[idx_l]                           # (n, c, e)
-    shf_l = img.shift[idx_l] + shift_k[:, :, None, :]  # (n, c, e, 3)
+    pos_i = pose[idx_i]
+    pos_k = pose[idx_k]
+    pos_l = pose[idx_l] + shk @ H.T
 
-    # broadcast layout: (n, a, c, e)
-    def A(x):   # (n, a) -> (n, a, 1, 1)
-        return x[:, :, None, None]
+    rij = pos_i - pos[:, None, :]
+    rjk = pos[:, None, :] - pos_k
+    rkl = pos_k - pos_l
 
-    def C(x):   # (n, c) -> (n, 1, c, 1)
-        return x[:, None, :, None]
-
-    def E(x):   # (n, c, e) -> (n, 1, c, e)
-        return x[:, None, :, :]
-
-    boij = bo0[:, :, None, None] - esub                # i-j bond at slot a
-    bojk = bo0[:, None, :, None] - esub
-    bokl = E(bo0_kl) - esub
-
-    # i != k: same slot in j's list means same extended atom
-    same_ik = (jnp.arange(kb)[:, None] == jnp.arange(kb)[None, :])[None, :, :, None]
-    mask4 = (A(maskp) & C(mask_jk) & E(mask_l)
-             & (bo0[:, :, None, None] > esub)
-             & (bo0[:, :, None, None] * bo0[:, None, :, None] > esub)
-             & ~same_ik
-             & (E(bo0_kl) > esub)
-             & (bo0[:, None, :, None] * E(bo0_kl) > esub))
-
-    # i != l and j != l by (owner, shift) identity
-    il_same = ((A(own_i) == E(own_l))
-               & jnp.all(shf_i[:, :, None, None, :] == shf_l[:, None, :, :, :],
-                         axis=-1))
-    jl_same = ((jnp.arange(n)[:, None, None, None] == E(own_l))
-               & jnp.all(shf_l == 0.0, axis=-1)[:, None, :, :])
-    mask4 = mask4 & ~il_same & ~jl_same
-
-    ti = types[own_i]                                  # (n, a)
-    tk = types[ok]                                     # (n, c)
-    tl = types[own_l]                                  # (n, c, e)
-    t4 = ffd.inxn4[A(ti), tj[:, None, None, None], C(tk), E(tl)]
-    mask4 = mask4 & (t4 >= 0)
-    # final BO-product gate (ref: pot.F90:1081)
-    mask4 = mask4 & (bo0[:, :, None, None]
-                     * bo0[:, None, :, None] ** 2
-                     * E(bo0_kl) > units.MINBO0)
-    t4c = jnp.where(t4 >= 0, t4, 0)
-
-    # --- geometry
-    pos_i = pose[idx]                                  # (n, a, 3)
-    pos_k = pose[idx]                                  # (n, c, 3)
-    pos_l = (pose[idx_l] + shift_k[:, :, None, :] @ H.T)  # (n, c, e, 3)
-
-    rij = pos_i[:, :, None, None, :] - pos[:, None, None, None, :]
-    rjk = pos[:, None, None, None, :] - pos_k[:, None, :, None, :]
-    rkl = pos_k[:, None, :, None, :] - pos_l[:, None, :, :, :]
-    shp = mask4.shape + (3,)
-    rij = jnp.broadcast_to(rij, shp)
-    rjk = jnp.broadcast_to(rjk, shp)
-    rkl = jnp.broadcast_to(rkl, shp)
-
-    cos_ijk, nij, njk = _angle_cos(rij, rjk, mask4)
-    cos_jkl, _, nkl = _angle_cos(rjk, rkl, mask4)
+    cos_ijk, nij, njk = _angle_cos(rij, rjk, valid)
+    cos_jkl, _, nkl = _angle_cos(rjk, rkl, valid)
     sin_ijk = jnp.sqrt(jnp.maximum(1.0 - cos_ijk * cos_ijk, 0.0))
     sin_jkl = jnp.sqrt(jnp.maximum(1.0 - cos_jkl * cos_jkl, 0.0))
 
     uij = rij / nij[..., None]
     ujk = rjk / njk[..., None]
     ukl = rkl / nkl[..., None]
-    crs1, n1 = _unit_cross(uij, ujk, mask4)
-    crs2, n2 = _unit_cross(ujk, ukl, mask4)
+    crs1, n1 = _unit_cross(uij, ujk, valid)
+    crs2, n2 = _unit_cross(ujk, ukl, valid)
     cos_w = jnp.sum(crs1 * crs2, axis=-1) / (n1 * n2)
     cos_w = jnp.clip(cos_w, units.MINANGLE, units.MAXANGLE)
     omega = jnp.arccos(cos_w)
@@ -597,40 +619,42 @@ def e_4body(pos, H, types, img, nbrs, bo: BondOrder, amask, gid,
     cos_3w = jnp.cos(3.0 * omega)
 
     # --- torsion energy (ref: pot.F90:1086-1129)
-    boij_s = _safe(boij, mask4, 1.0)
-    bojk_s = _safe(bojk, mask4, 1.0)
-    bokl_s = _safe(bokl, mask4, 1.0)
-    exp_tor2_ij = jnp.exp(-ffd.ptor2[t4c] * boij_s)
-    exp_tor2_jk = jnp.exp(-ffd.ptor2[t4c] * bojk_s)
-    exp_tor2_kl = jnp.exp(-ffd.ptor2[t4c] * bokl_s)
-    dajk = (delta_ang[:, None] + delta_ang[ok])[:, None, :, None]
-    exp_tor3 = jnp.exp(-ffd.ptor3[t4c] * dajk)
-    exp_tor4 = jnp.exp(ffd.ptor4[t4c] * dajk)
-    fn10 = ((1.0 - exp_tor2_ij) * (1.0 - exp_tor2_jk) * (1.0 - exp_tor2_kl))
+    boij_s = _safe(boij, valid, 1.0)
+    bojk_s = _safe(bojk, valid, 1.0)
+    bokl_s = _safe(bokl, valid, 1.0)
+    exp_tor2_ij = jnp.exp(-ffd.ptor2[t4] * boij_s)
+    exp_tor2_jk = jnp.exp(-ffd.ptor2[t4] * bojk_s)
+    exp_tor2_kl = jnp.exp(-ffd.ptor2[t4] * bokl_s)
+    dajk = delta_ang[:, None] + delta_ang[ok]
+    exp_tor3 = jnp.exp(-ffd.ptor3[t4] * dajk)
+    exp_tor4 = jnp.exp(ffd.ptor4[t4] * dajk)
+    fn10 = (1.0 - exp_tor2_ij) * (1.0 - exp_tor2_jk) * (1.0 - exp_tor2_kl)
     fn11 = (2.0 + exp_tor3) / (1.0 + exp_tor3 + exp_tor4)
-    fn12 = jnp.exp(-ffd.pcot2[t4c] * ((boij_s - 1.5) ** 2
-                                      + (bojk_s - 1.5) ** 2
-                                      + (bokl_s - 1.5) ** 2))
+    fn12 = jnp.exp(-ffd.pcot2[t4] * ((boij_s - 1.5) ** 2
+                                     + (bojk_s - 1.5) ** 2
+                                     + (bokl_s - 1.5) ** 2))
     # uses the raw pi BO of the j-k bond (ref: pot.F90:1102 remark)
-    btb2 = 2.0 - bo.bo[..., 2][:, None, :, None] - fn11
-    exp_tor1 = jnp.exp(ffd.ptor1[t4c] * btb2 * btb2)
+    btb2 = 2.0 - bo_pi_jk - fn11
+    exp_tor1 = jnp.exp(ffd.ptor1[t4] * btb2 * btb2)
 
     petors = 0.5 * fn10 * sin_ijk * sin_jkl * (
-        ffd.V1[t4c] * (1.0 + cos_w)
-        + ffd.V2[t4c] * exp_tor1 * (1.0 - cos_2w)
-        + ffd.V3[t4c] * (1.0 + cos_3w))
-    peconj = (ffd.pcot1[t4c] * fn12
+        ffd.V1[t4] * (1.0 + cos_w)
+        + ffd.V2[t4] * exp_tor1 * (1.0 - cos_2w)
+        + ffd.V3[t4] * (1.0 + cos_3w))
+    peconj = (ffd.pcot1[t4] * fn12
               * (1.0 + (cos_w * cos_w - 1.0) * sin_ijk * sin_jkl))
 
-    return (jnp.sum(jnp.where(mask4, petors, 0.0)),
-            jnp.sum(jnp.where(mask4, peconj, 0.0)))
+    return (jnp.sum(jnp.where(valid, petors, 0.0)),
+            jnp.sum(jnp.where(valid, peconj, 0.0)))
 
 
-def e_hbond(pos, H, types, img, nbrs, bo: BondOrder, amask, ffd: FFDev):
+def e_hbond(pos, H, types, img, nbrs, bo: BondOrder, amask, ffd: FFDev,
+            cap: int = 64):
     """Hydrogen bond energy (ref: pot.F90:587-665).
 
     Donor heavy atom i (resident), central hydrogen j (bonded to i),
-    acceptor k from i's nonbonded list within rchb.
+    acceptor k from i's nonbonded list within rchb.  Valid (j-slot, k-slot)
+    pairs per donor are compacted into a per-atom list of capacity `cap`.
     """
     if ffd.r0hb.shape[0] == 0:
         return jnp.asarray(0.0, pos.dtype)
@@ -643,32 +667,38 @@ def e_hbond(pos, H, types, img, nbrs, bo: BondOrder, amask, ffd: FFDev):
     idxnb = jnp.where(masknb, nbrs.idxnb, 0)
 
     tj = types[img.owner[idxb]]                        # (n, kb)
-    mask_ij = maskb & (tj == ffd.h_type) & (bo.bo[..., 0] > units.MINBO0) \
-        & amask[:, None]
+    bo0_sg = jax.lax.stop_gradient(bo.bo[..., 0])
+    mask_ij = (maskb & (tj == ffd.h_type) & (bo0_sg > units.MINBO0)
+               & amask[:, None])
 
     tk = types[img.owner[idxnb]]                       # (n, knb)
-    hb = ffd.inxn3hb[types[:, None, None],
-                     tj[:, :, None], tk[:, None, :]]   # (n, kb, knb)
-    mask = (mask_ij[:, :, None] & masknb[:, None, :] & (hb >= 0)
-            & (idxb[:, :, None] != idxnb[:, None, :]))  # j != k
-    hbc = jnp.where(hb >= 0, hb, 0)
-
+    hb_full = ffd.inxn3hb[types[:, None, None],
+                          tj[:, :, None], tk[:, None, :]]  # (n, kb, knb)
     rik = pos[:, None, :] - pose[idxnb]                # (n, knb, 3)
-    rik2 = jnp.sum(rik * rik, axis=-1)
-    mask = mask & (rik2 < units.RCHB2)[:, None, :]
+    rik2 = jax.lax.stop_gradient(jnp.sum(rik * rik, axis=-1))
+    mask = (mask_ij[:, :, None] & masknb[:, None, :] & (hb_full >= 0)
+            & (idxb[:, :, None] != idxnb[:, None, :])   # j != k
+            & (rik2 < units.RCHB2)[:, None, :])
 
-    rij = pos[:, None, :] - pose[idxb]                 # (n, kb, 3)
-    rjk = pose[idxb][:, :, None, :] - pose[idxnb][:, None, :, :]
-    rij4 = jnp.broadcast_to(rij[:, :, None, :], mask.shape + (3,))
-    cos_ijk, _, njk = _angle_cos(rij4, rjk, mask)
+    s, valid, _ = _row_topk_slots(mask.reshape(n, kb * knb), cap)
+    b_slot, k_slot = s // knb, s % knb
+
+    row = jnp.arange(n)[:, None]
+    hbt = jnp.where(valid, hb_full[row, b_slot, k_slot], 0)
+    idx_j = idxb[row, b_slot]
+    idx_k = idxnb[row, k_slot]
+    bo_ij = bo.bo[..., 0][row, b_slot]
+
+    rij = pos[:, None, :] - pose[idx_j]                # (n, cap, 3)
+    rjk = pose[idx_j] - pose[idx_k]
+    cos_ijk, _, njk = _angle_cos(rij, rjk, valid)
     sin_xhz4 = ((1.0 - cos_ijk) * 0.5) ** 2            # sin^4(theta/2)
 
-    bo_ij = bo.bo[..., 0][:, :, None]
-    exp_hb2 = jnp.exp(-ffd.phb2[hbc] * bo_ij)
-    r0 = ffd.r0hb[hbc]
-    exp_hb3 = jnp.exp(-ffd.phb3[hbc] * (r0 / njk + njk / r0 - 2.0))
-    pehb = ffd.phb1[hbc] * (1.0 - exp_hb2) * exp_hb3 * sin_xhz4
-    return jnp.sum(jnp.where(mask, pehb, 0.0))
+    exp_hb2 = jnp.exp(-ffd.phb2[hbt] * bo_ij)
+    r0 = ffd.r0hb[hbt]
+    exp_hb3 = jnp.exp(-ffd.phb3[hbt] * (r0 / njk + njk / r0 - 2.0))
+    pehb = ffd.phb1[hbt] * (1.0 - exp_hb2) * exp_hb3 * sin_xhz4
+    return jnp.sum(jnp.where(valid, pehb, 0.0))
 
 
 def _table_lerp(tbl, b, dr2, udr, udri, mask):
@@ -714,13 +744,18 @@ def e_nonbond(pos, q, H, types, img, nbrs, gid, amask, ffd: FFDev):
 # assembly
 # ----------------------------------------------------------------------------
 
+DEFAULT_CAPS = {"ang": 16, "tor": 48, "hb": 64}
+
+
 def energy_components(pos, q, H, types, gid, img: ImageTable,
-                      nbrs: Neighbors, ffd: FFDev, amask=None):
+                      nbrs: Neighbors, ffd: FFDev, amask=None, caps=None):
     """All potential-energy components as a (14,) vector using the
     reference's PE slot convention (ref: module.F90:143-146):
       0=total 1=Ebond 2=Elp 3=Eover 4=Eunder 5=Eval 6=Epen 7=Ecoa
       8=Etors 9=Econj 10=Ehb 11=Evdw 12=Eclmb 13=Echarge
+    `caps` sets the per-atom angle/torsion/hbond list capacities.
     """
+    caps = {**DEFAULT_CAPS, **(caps or {})}
     if amask is None:
         amask = jnp.ones(pos.shape[0], dtype=bool)
     bo = bond_order(pos, H, types, img, nbrs, ffd)
@@ -728,9 +763,11 @@ def energy_components(pos, q, H, types, gid, img: ImageTable,
 
     ebond = e_bond(types, img, nbrs, bo, gid, amask, ffd)
     elp, eover, eunder = e_lnpr(types, img, nbrs, bo, lp, amask, ffd)
-    eval_, epen, ecoa = e_3body(pos, H, types, img, nbrs, bo, lp, amask, ffd)
-    etors, econj = e_4body(pos, H, types, img, nbrs, bo, amask, gid, ffd)
-    ehb = e_hbond(pos, H, types, img, nbrs, bo, amask, ffd)
+    eval_, epen, ecoa = e_3body(pos, H, types, img, nbrs, bo, lp, amask, ffd,
+                                cap=caps["ang"])
+    etors, econj = e_4body(pos, H, types, img, nbrs, bo, amask, gid, ffd,
+                           cap=caps["tor"])
+    ehb = e_hbond(pos, H, types, img, nbrs, bo, amask, ffd, cap=caps["hb"])
     evdw, eclmb, echarge = e_nonbond(pos, q, H, types, img, nbrs, gid, amask,
                                      ffd)
 
@@ -741,16 +778,64 @@ def energy_components(pos, q, H, types, gid, img: ImageTable,
     return comps
 
 
-def total_energy(pos, q, H, types, gid, img, nbrs, ffd, amask=None):
-    return energy_components(pos, q, H, types, gid, img, nbrs, ffd, amask)[0]
+def total_energy(pos, q, H, types, gid, img, nbrs, ffd, amask=None,
+                 caps=None):
+    return energy_components(pos, q, H, types, gid, img, nbrs, ffd, amask,
+                             caps)[0]
 
 
-def energy_and_forces(pos, q, H, types, gid, img, nbrs, ffd, amask=None):
+def energy_and_forces(pos, q, H, types, gid, img, nbrs, ffd, amask=None,
+                      caps=None):
     """(PE components, forces).  Forces are exact -dE/dpos; the ghost-force
     reduction (reference MODE_CPBK, comm.F90:74-78) happens automatically in
     the backward pass of the ghost-position gather."""
     def etot(p):
-        c = energy_components(p, q, H, types, gid, img, nbrs, ffd, amask)
+        c = energy_components(p, q, H, types, gid, img, nbrs, ffd, amask,
+                              caps)
         return c[0], c
     (_, comps), grad = jax.value_and_grad(etot, has_aux=True)(pos)
     return comps, -grad
+
+
+def term_counts(pos, H, types, gid, img, nbrs, ffd, amask=None):
+    """Host-side probe of actual per-atom interaction-list occupancies, used
+    to auto-size the angle/torsion/hbond caps (analog of the reference's
+    maxas stats, main.F90:128-146).  Upper bounds, cheap to compute."""
+    n = pos.shape[0]
+    if amask is None:
+        amask = jnp.ones(n, dtype=bool)
+    bo = bond_order(pos, H, types, img, nbrs, ffd)
+    kb = bo.mask.shape[1]
+    bo0 = bo.bo[..., 0]
+    esub = units.CUTOF2_ESUB
+    okb = bo.mask & (bo0 > esub)
+    slot = jnp.arange(kb)
+    pm = (okb[:, :, None] & okb[:, None, :]
+          & (slot[:, None] < slot[None, :])[None]
+          & (bo0[:, :, None] * bo0[:, None, :] > esub))
+    ang = int(pm.sum(axis=(1, 2)).max())
+    deg = okb.sum(axis=1)
+    degmax = int(deg.max())
+    mask4, _ = _torsion_mask(types, gid, img, nbrs, bo, amask, ffd)
+    tor = int(mask4.sum(axis=(1, 2, 3)).max())
+    # hbond: H-neighbors of i times worst-case acceptors is loose; count
+    # H-bonded slots and scale by a modest acceptor estimate
+    idx = jnp.where(bo.mask, nbrs.idxb, 0)
+    is_h = (types[img.owner[idx]] == ffd.h_type) & bo.mask \
+        & (bo0 > units.MINBO0)
+    # exact hbond pair count per donor row
+    hb = 0
+    if ffd.r0hb.shape[0] > 0:
+        pose = ext_positions(pos, H, img)
+        idxnb = jnp.where(nbrs.masknb, nbrs.idxnb, 0)
+        tnb = types[img.owner[idxnb]]
+        tj = types[img.owner[idx]]
+        hbty = ffd.inxn3hb[types[:, None, None], tj[:, :, None],
+                           tnb[:, None, :]]
+        rik = pos[:, None, :] - pose[idxnb]
+        rik2 = jnp.sum(rik * rik, axis=-1)
+        m = (is_h[:, :, None] & nbrs.masknb[:, None, :] & (hbty >= 0)
+             & (idx[:, :, None] != idxnb[:, None, :])
+             & (rik2 < units.RCHB2)[:, None, :])
+        hb = int(m.sum(axis=(1, 2)).max())
+    return {"ang": ang, "tor": tor, "hb": hb, "degmax": degmax}

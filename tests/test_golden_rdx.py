@@ -15,6 +15,9 @@ FF = "/root/reference/ffield"
 CELL = "/root/reference/conf/init.rdx/input.xyz"
 
 
+CAPS = {"ang": 40, "tor": 96, "hb": 384}
+
+
 @pytest.fixture(scope="module")
 def setup():
     ff = ffield.parse_ffield(FF)
@@ -39,7 +42,7 @@ def test_step0_bonded_energies(setup):
     """Bonded terms are charge-independent -> checkable with q=0."""
     _, st, ffd, img, nbrs = setup
     comps = np.asarray(reax.energy_components(
-        st.pos, st.q, st.H, st.types, st.gid, img, nbrs, ffd)) / st.n
+        st.pos, st.q, st.H, st.types, st.gid, img, nbrs, ffd, caps=CAPS)) / st.n
     assert abs(comps[1] - (-136.8986)) < 2e-3          # Ebond -1.369E+02
     assert abs(comps[2:5].sum() - 1.287) < 2e-3        # Elp+Eover+Eunder
     assert abs(comps[5:8].sum() - (-1.362)) < 2e-3     # Eval+Epen+Ecoa
@@ -55,7 +58,8 @@ def test_step0_qeq_and_total(setup):
     assert abs(q.sum()) < 1e-10                        # charge neutrality
     assert 10 <= int(res.iters) <= 60                  # golden: 41
     comps = np.asarray(reax.energy_components(
-        st.pos, res.q, st.H, st.types, st.gid, img, nbrs, ffd)) / st.n
+        st.pos, res.q, st.H, st.types, st.gid, img, nbrs, ffd,
+        caps=CAPS)) / st.n
     assert abs(comps[0] - (-98.2464)) < 2e-4           # total PE per atom
     assert abs(comps[11:14].sum() - 38.21) < 1e-2      # Evdw+Eclmb+Echarge
 
@@ -75,7 +79,7 @@ def test_forces_are_exact_gradient(setup):
     q = res.q
 
     ecomp = jax.jit(lambda p: reax.energy_components(
-        p, q, st.H, st.types, st.gid, img, nbrs, ffd))
+        p, q, st.H, st.types, st.gid, img, nbrs, ffd, caps=CAPS))
     J = jax.jacrev(lambda p: ecomp(p))(st.pos)   # (14, N, 3)
     h = 1e-6
     for (i, k) in [(0, 0), (17, 1), (100, 2), (167, 0)]:
@@ -94,7 +98,7 @@ def test_forces_are_exact_gradient(setup):
 def test_forces_sum_to_zero(setup):
     _, st, ffd, img, nbrs = setup
     _, f = reax.energy_and_forces(st.pos, st.q, st.H, st.types, st.gid, img,
-                                  nbrs, ffd)
+                                  nbrs, ffd, caps=CAPS)
     assert np.abs(np.asarray(f).sum(axis=0)).max() < 1e-9
 
 
