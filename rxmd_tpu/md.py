@@ -93,14 +93,15 @@ class Engine:
         frac = (pos @ Hi.T) % 1.0
         return frac @ H.T
 
-    def _qeq_step(self, pos, q, qsfp, qsfv, H, types, nbrs):
+    def _qeq_step(self, pos, q, qsfp, qsfv, H, types, nbrs, isqeq=None):
         cfg = self.cfg
-        if cfg.isQEq == 0:
+        isqeq = cfg.isQEq if isqeq is None else isqeq
+        if isqeq == 0:
             return q, qsfp, qsfv, jnp.int32(0)
         res = qeq.solve(pos, q, qsfp, H, types, self.img, nbrs, self.ffd,
-                        isqeq=cfg.isQEq, nmax=cfg.NMAXQEq, tol=cfg.QEq_tol,
+                        isqeq=isqeq, nmax=cfg.NMAXQEq, tol=cfg.QEq_tol,
                         lex_fqs=cfg.Lex_fqs)
-        if cfg.isQEq == 1:
+        if isqeq == 1:
             # fictitious charges re-seeded from pre-QEq q (ref: qeq.F90:42-43)
             return res.q, q, jnp.zeros_like(qsfv), res.iters
         return res.q, qsfp, qsfv, res.iters
@@ -159,8 +160,14 @@ class Engine:
         """Initial QEq + FORCE before the main loop (ref: main.F90:27-32)."""
         def prepare(s: State):
             nbrs = self._build_nbrs(s.pos, s.H, s.types)
+            # cold-start extended Lagrangian: one full CG solve to seed the
+            # fictitious charge DOF (production restarts load qsfp from the
+            # checkpoint instead, ref: fileio.F90:534-535)
+            isq = 1 if self.cfg.isQEq == 2 else None
             q, qsfp, qsfv, nq = self._qeq_step(
-                s.pos, s.q, s.qsfp, s.qsfv, s.H, s.types, nbrs)
+                s.pos, s.q, s.qsfp, s.qsfv, s.H, s.types, nbrs, isqeq=isq)
+            if self.cfg.isQEq == 2:
+                qsfp, qsfv = q, jnp.zeros_like(qsfv)
             comps, f = self._forces(s.pos, q, s.H, s.types, s.gid, nbrs)
             s = dataclasses.replace(s, q=q, qsfp=qsfp, qsfv=qsfv)
             return s, f, comps, nq

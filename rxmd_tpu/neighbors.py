@@ -118,6 +118,127 @@ def build_neighbors_brute(pos, H, types, img: ImageTable, rc2_by_type,
                      idxnb=idxnb, cntnb=masknb.sum(axis=1, dtype=jnp.int32))
 
 
+def sphere_stencil(cellsize, rcut):
+    """Pruned cell-offset stencil covering a sphere of radius rcut
+    (ref: GetNonbondingMesh init.F90:525-607): keep offset (i,j,k) if the
+    nearest corner distance between cells is within rcut."""
+    cellsize = np.asarray(cellsize, dtype=float)
+    reach = (np.ceil(rcut / cellsize)).astype(int) + 1
+    offs = []
+    for i in range(-reach[0], reach[0] + 1):
+        for j in range(-reach[1], reach[1] + 1):
+            for k in range(-reach[2], reach[2] + 1):
+                v = np.array([i, j, k], dtype=float)
+                v = np.where(v > 0, v - 1, np.where(v < 0, v + 1, 0.0))
+                if np.sum((v * cellsize) ** 2) <= rcut * rcut:
+                    offs.append((i, j, k))
+    return tuple(offs)
+
+
+class CellGrid(NamedTuple):
+    """Static geometry of the binning grid (host-side setup)."""
+    lo: tuple            # region lower corner (3,)
+    cellsize: tuple      # (3,)
+    ncells: tuple        # (3,) ints
+    ccap: int            # max atoms per cell
+    stencil_b: tuple     # bonded stencil offsets
+    stencil_nb: tuple    # nonbonded (taper) stencil offsets
+
+
+def make_cell_grid(lo, hi, maxrc, rctap, density_per_A3=0.15,
+                   ccap=None) -> CellGrid:
+    """Size a grid over [lo, hi): cells at least maxrc wide so the bonded
+    stencil is 27 cells; the nonbonded stencil is sphere-pruned."""
+    lo = np.asarray(lo, float)
+    hi = np.asarray(hi, float)
+    ext = hi - lo
+    ncells = np.maximum(np.floor(ext / max(maxrc, 2.0)).astype(int), 1)
+    cellsize = ext / ncells
+    if ccap is None:
+        ccap = max(8, int(np.ceil(np.prod(cellsize) * density_per_A3 * 2)))
+    st_b = tuple((i, j, k) for i in (-1, 0, 1) for j in (-1, 0, 1)
+                 for k in (-1, 0, 1))
+    st_nb = sphere_stencil(cellsize, rctap)
+    return CellGrid(lo=tuple(lo), cellsize=tuple(cellsize),
+                    ncells=tuple(int(x) for x in ncells), ccap=int(ccap),
+                    stencil_b=st_b, stencil_nb=st_nb)
+
+
+def _cell_table(pos, valid, grid: CellGrid):
+    """Bin atoms into cells; returns (table (C+1, ccap) of atom indices with
+    -1 padding, cid3 (M,3), counts-per-cell overflow indicator).
+
+    TPU-native replacement of the reference's linked-cell lists
+    (ref: LINKEDLIST main.F90:277-318): sort by cell id + fixed-capacity
+    scatter instead of linked pointers."""
+    m = pos.shape[0]
+    nc = np.array(grid.ncells)
+    ctot = int(np.prod(nc))
+    rel = (pos - jnp.asarray(grid.lo, pos.dtype)) / jnp.asarray(
+        grid.cellsize, pos.dtype)
+    cid3 = jnp.clip(jnp.floor(rel).astype(jnp.int32), 0,
+                    jnp.asarray(nc - 1, jnp.int32))
+    cid = (cid3[:, 0] * nc[1] + cid3[:, 1]) * nc[2] + cid3[:, 2]
+    cid = jnp.where(valid, cid, ctot)          # invalid atoms -> overflow bin
+    order = jnp.argsort(cid)
+    scid = cid[order]
+    start = jnp.searchsorted(scid, jnp.arange(ctot + 1, dtype=scid.dtype))
+    rank = jnp.arange(m, dtype=jnp.int32) - start[scid].astype(jnp.int32)
+    table = jnp.full((ctot + 1, grid.ccap), -1, jnp.int32)
+    inb = rank < grid.ccap
+    table = table.at[jnp.where(inb, scid, ctot),
+                     jnp.clip(rank, 0, grid.ccap - 1)].set(
+        jnp.where(inb, order.astype(jnp.int32), -1))
+    # per-cell max occupancy for overflow detection
+    occ_overflow = jnp.max(jnp.where(scid < ctot, rank + 1, 0))
+    return table, cid3, occ_overflow
+
+
+def _stencil_candidates(table, cid3, stencil, grid: CellGrid):
+    """Candidate neighbor indices (M, S*ccap) from stencil cells, -1 pad."""
+    nc = np.array(grid.ncells)
+    offs = jnp.asarray(np.array(stencil, np.int32))        # (S, 3)
+    nb3 = cid3[:, None, :] + offs[None, :, :]              # (M, S, 3)
+    oob = ((nb3 < 0) | (nb3 >= jnp.asarray(nc))).any(axis=-1)
+    nbc = (nb3[..., 0] * nc[1] + nb3[..., 1]) * nc[2] + nb3[..., 2]
+    nbc = jnp.where(oob, np.prod(nc), nbc)                 # empty bin
+    cand = table[nbc]                                      # (M, S, ccap)
+    return cand.reshape(cand.shape[0], -1)
+
+
+@functools.partial(jax.jit, static_argnames=("grid", "kb", "knb"))
+def build_neighbors_cells(pos, valid, types, grid: CellGrid, rc2_by_type,
+                          rctap2, kb: int, knb: int):
+    """O(M) cell-list neighbor build over an extended atom set.
+
+    `pos` are real coordinates inside [grid.lo, grid.lo+extent); `valid`
+    masks live entries.  Returns Neighbors with rows for every entry.
+    """
+    m = pos.shape[0]
+    table, cid3, overflow = _cell_table(pos, valid, grid)
+
+    def lists(stencil, rc2_fn, cap):
+        cand = _stencil_candidates(table, cid3, stencil, grid)  # (M, C)
+        cidx = jnp.where(cand >= 0, cand, 0)
+        d = pos[:, None, :] - pos[cidx]
+        dr2 = jnp.sum(d * d, axis=-1)
+        mask = ((cand >= 0) & (cand != jnp.arange(m)[:, None])
+                & valid[:, None] & valid[cidx] & rc2_fn(dr2, cidx))
+        slot = _select_k(mask, cap)                    # positions in cand row
+        idx = jnp.where(slot >= 0,
+                        jnp.take_along_axis(cidx, jnp.maximum(slot, 0),
+                                            axis=1), -1)
+        return idx.astype(jnp.int32), mask.sum(axis=1, dtype=jnp.int32)
+
+    tj = types
+    idxb, cntb = lists(
+        grid.stencil_b,
+        lambda dr2, c: dr2 < rc2_by_type[tj[:, None], tj[c]], kb)
+    idxnb, cntnb = lists(
+        grid.stencil_nb, lambda dr2, c: dr2 <= rctap2, knb)
+    return Neighbors(idxb=idxb, cntb=cntb, idxnb=idxnb, cntnb=cntnb), overflow
+
+
 def check_overflow(nbrs: Neighbors):
     """Host-side overflow check; returns (max_bonded, max_nonbonded).
 

@@ -1,0 +1,387 @@
+"""Sharded MD engine: 3-D spatial domain decomposition over a device mesh.
+
+The TPU-native equivalent of the reference's MPI rank grid
+(ref: init.F90:75-100): a `jax.sharding.Mesh` with axes ("x","y","z"), one
+spatial subdomain per device, fixed per-device atom capacity.  One MD step is
+a single `jax.shard_map`-ped function containing:
+
+  migration (COPYATOMS MODE_MOVE, comm.F90 / main.F90:75)
+  -> halo plan construction (MODE_COPY, pot.F90:28)
+  -> cell-list neighbor build
+  -> QEq CG with psum reductions and per-iteration ghost refresh
+     (MODE_QCOPY1/2, qeq.F90:86-164)
+  -> forces as grad of the psum'd total energy (ghost-force copy-back
+     MODE_CPBK arises as the transpose of the halo ppermutes)
+  -> velocity-Verlet kicks.
+
+Within-shard compute reuses the exact same `reax` potential as the
+single-device engine, in "identity image" mode: rows = residents + ghosts,
+energies summed over resident rows only.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .. import units, qeq, reax, neighbors
+from ..config import RunConfig
+from ..ffield import ForceField
+from ..system import State
+from . import halo
+
+
+def identity_image(m: int, dtype) -> neighbors.ImageTable:
+    """Ext rows are real atoms (residents + exchanged ghosts): owner is the
+    identity and shifts are zero."""
+    return neighbors.ImageTable(owner=jnp.arange(m, dtype=jnp.int32),
+                                shift=jnp.zeros((m, 3), dtype), nimg=(0, 0, 0))
+
+
+class ShardedState(NamedTuple):
+    """Per-atom state in device-block layout: arrays of shape
+    (ndev*ncap, ...), block d holding device d's residents."""
+    frac: jax.Array      # global fractional coordinates
+    vel: jax.Array
+    q: jax.Array
+    qsfp: jax.Array
+    qsfv: jax.Array
+    types: jax.Array
+    gid: jax.Array
+    valid: jax.Array
+
+
+def factor_mesh(n: int):
+    """Factor n into a 3-tuple, largest axis first (like choosing vprocs)."""
+    best = (n, 1, 1)
+    for a in range(1, n + 1):
+        if n % a:
+            continue
+        for b in range(1, n // a + 1):
+            if (n // a) % b:
+                continue
+            c = n // a // b
+            cand = tuple(sorted((a, b, c), reverse=True))
+            if max(cand) - min(cand) < max(best) - min(best):
+                best = cand
+    return best
+
+
+def distribute(state: State, mesh_shape, ncap) -> ShardedState:
+    """Assign atoms to device blocks by spatial subdomain (host-side;
+    the analog of geninit's binning, ref: geninit.F90:493-527)."""
+    H = np.asarray(state.H)
+    Hi = np.linalg.inv(H)
+    frac = (np.asarray(state.pos) @ Hi.T) % 1.0
+    nx, ny, nz = mesh_shape
+    ndev = nx * ny * nz
+    cell = np.minimum((frac * [nx, ny, nz]).astype(int),
+                      np.array([nx, ny, nz]) - 1)
+    lin = (cell[:, 0] * ny + cell[:, 1]) * nz + cell[:, 2]
+
+    def blk(arr, fill=0):
+        arr = np.asarray(arr)
+        out = np.full((ndev * ncap,) + arr.shape[1:], fill, arr.dtype)
+        for d in range(ndev):
+            sel = np.where(lin == d)[0]
+            if len(sel) > ncap:
+                raise RuntimeError(f"device {d} overflows ncap={ncap}")
+            out[d * ncap:d * ncap + len(sel)] = arr[sel]
+        return out
+
+    valid = np.zeros(ndev * ncap, bool)
+    for d in range(ndev):
+        valid[d * ncap:d * ncap + int((lin == d).sum())] = True
+    return ShardedState(
+        frac=jnp.asarray(blk(frac)), vel=jnp.asarray(blk(state.vel)),
+        q=jnp.asarray(blk(state.q)), qsfp=jnp.asarray(blk(state.qsfp)),
+        qsfv=jnp.asarray(blk(state.qsfv)),
+        types=jnp.asarray(blk(state.types)),
+        gid=jnp.asarray(blk(state.gid)), valid=jnp.asarray(valid))
+
+
+class ShardedEngine:
+    """Multi-device MD engine over a 3-D mesh."""
+
+    def __init__(self, ff: ForceField, state: State, cfg: RunConfig,
+                 mesh_shape=None, devices=None, dtype=None,
+                 ncap=None, bcap=None, mcap=64):
+        self.ff = ff
+        self.cfg = cfg
+        self.dtype = dtype or jnp.dtype(cfg.dtype)
+        devices = devices if devices is not None else jax.devices()
+        if mesh_shape is None:
+            mesh_shape = factor_mesh(len(devices))
+        self.mesh_shape = tuple(mesh_shape)
+        ndev = int(np.prod(mesh_shape))
+        self.mesh = Mesh(np.asarray(devices[:ndev]).reshape(mesh_shape),
+                         ("x", "y", "z"))
+
+        rctap = units.RCTAP0_PQEQ if cfg.isPQEq else units.RCTAP0
+        self.ffd = reax.ffdev_from(ff, dtype=self.dtype, rctap=rctap)
+        self.state0 = state.astype(self.dtype)
+        H = np.asarray(state.H)
+        self.Hg = jnp.asarray(H, self.dtype)
+        self.Hi = jnp.asarray(np.linalg.inv(H), self.dtype)
+        L = np.linalg.norm(H, axis=0)       # orthogonal boxes assumed
+
+        from ..ffield import effective_maxrc
+        maxrc = effective_maxrc(ff, np.asarray(state.types))
+        # ghost skin: 3*maxrc covers the deepest bonded dependency chain
+        # (resident energy -> BO(k,l) with l at 2rc -> deltap(l) needing
+        # positions at 3rc); the taper cutoff covers nonbonded/QEq.
+        # (The reference uses NMINCELL cell layers, pot.F90:28.)
+        skin = max(3.0 * maxrc, rctap) + 0.3
+        self.skin = skin
+        local = L / np.asarray(mesh_shape)
+        if (local < skin).any() and max(mesh_shape) > 1:
+            raise RuntimeError(
+                f"local box {local} smaller than skin {skin}; use fewer "
+                "devices or a larger system (same constraint as the "
+                "reference's cell decomposition)")
+
+        if ncap is None:
+            ncap = int(np.ceil(state.n / ndev * 1.6 / 8)) * 8
+        self.ncap = ncap
+        # ghost buffer: volume ratio of the skin expansion, with margin
+        if bcap is None:
+            dens = state.n / np.prod(L)
+            grow = np.prod(1 + 2 * skin / local) - 1.0
+            bcap = int(np.ceil(ncap * max(grow, 1.0) / 3.0)) + 32
+        self.bcap = bcap
+        self.mcap = mcap
+        self.spec = halo.HaloSpec(
+            axes=("x", "y", "z"), mesh_shape=self.mesh_shape,
+            skin_frac=tuple(skin / L), ncap=ncap, bcap=bcap)
+        self.mext = ncap + 6 * bcap
+
+        # neighbor/term capacities from a single-device probe
+        img = neighbors.make_image_table(
+            state.n, neighbors.nimg_for_cutoff(H, rctap), self.dtype)
+        probe = neighbors.build_neighbors_brute(
+            self.state0.pos, self.state0.H, self.state0.types, img,
+            self.ffd.rc2b, self.ffd.rctap2, 32, 1024)
+        mb, mnb = neighbors.check_overflow(probe)
+        self.kb = int(-(-int(mb * 1.5 + 2) // 4) * 4)
+        self.knb = min(int(-(-int(mnb * 1.3 + 8) // 64) * 64), 2048)
+        probe2 = neighbors.build_neighbors_brute(
+            self.state0.pos, self.state0.H, self.state0.types, img,
+            self.ffd.rc2b, self.ffd.rctap2, self.kb, self.knb)
+        tc = reax.term_counts(self.state0.pos, self.state0.H,
+                              self.state0.types, self.state0.gid, img,
+                              probe2, self.ffd)
+        r4 = lambda x, m: int(-(-x // m) * m)
+        self.caps = {"ang": r4(int(tc["ang"] * 1.4) + 2, 4),
+                     "tor": r4(int(tc["tor"] * 1.4) + 4, 8),
+                     "hb": max(r4(int(tc["hb"] * 1.4) + 2, 4), 4)}
+
+        # local cell grid over the skin-extended subdomain (frac-relative)
+        lo = -skin * np.ones(3)
+        hi = local + skin
+        self.grid = neighbors.make_cell_grid(lo, hi, max(maxrc, 2.0), rctap)
+
+        # integration constants
+        self.dt = cfg.dt_fs / units.UTIME
+        self.lex_w2 = 2.0 * cfg.Lex_k / self.dt / self.dt
+        self.dthm = jnp.asarray(self.dt * 0.5 / ff.mass, self.dtype)
+        self.hmas = jnp.asarray(0.5 * ff.mass, self.dtype)
+
+        self.sstate = distribute(self.state0, self.mesh_shape, ncap)
+        self._step = self._build_step()
+
+    # ------------------------------------------------------------------
+    def _local_frame(self):
+        """Per-device offset of the subdomain origin in fractional coords."""
+        nx, ny, nz = self.mesh_shape
+        ix = jax.lax.axis_index("x").astype(self.dtype)
+        iy = jax.lax.axis_index("y").astype(self.dtype)
+        iz = jax.lax.axis_index("z").astype(self.dtype)
+        return jnp.stack([ix / nx, iy / ny, iz / nz])
+
+    def _psum(self, x):
+        return jax.lax.psum(x, ("x", "y", "z"))
+
+    def _migrate(self, s: ShardedState):
+        """Move atoms whose coordinate left the local box to the face
+        neighbor, one axis at a time (COPYATOMS MODE_MOVE semantics,
+        comm.F90:232-270,440)."""
+        nxs = self.mesh_shape
+        mcap = self.mcap
+        payload = s._asdict()
+        valid = payload.pop("valid")
+        for ax, name in ((0, "x"), (1, "y"), (2, "z")):
+            n = nxs[ax]
+            if n == 1:
+                continue
+            my = jax.lax.axis_index(name)
+            target = jnp.clip((payload["frac"][:, ax] * n).astype(jnp.int32),
+                              0, n - 1)
+            for d in (+1, -1):
+                dest = (my + d) % n
+                go = valid & (target == dest)
+                if n == 2 and d == -1:
+                    go = go & False       # both directions coincide; send once
+                vals, sel = jax.lax.top_k(go.astype(jnp.int32), mcap)
+                cnt = go.sum(dtype=jnp.int32)
+                ok = vals > 0
+                send = {k: jnp.where(
+                    ok.reshape((mcap,) + (1,) * (v.ndim - 1)),
+                    v[jnp.where(ok, sel, 0)], 0)
+                    for k, v in payload.items()}
+                recv = jax.tree.map(
+                    lambda a: jax.lax.ppermute(a, name, halo._perm(n, d)),
+                    send)
+                rcnt = jax.lax.ppermute(cnt, name, halo._perm(n, d))
+                rvalid = jnp.arange(mcap) < rcnt
+                # drop senders, then place received atoms into free slots
+                valid = valid & ~go
+                fvals, fsel = jax.lax.top_k((~valid).astype(jnp.int32), mcap)
+                place = rvalid & (fvals > 0)
+                dst = jnp.where(place, fsel, self.ncap)  # ncap: scratch slot
+                for k in payload:
+                    pv = payload[k]
+                    upd = jax.tree.map(lambda r: r, recv[k])
+                    payload[k] = pv.at[dst].set(
+                        jnp.where(place.reshape((mcap,) + (1,) *
+                                                (pv.ndim - 1)),
+                                  upd, pv[dst]), mode="drop")
+                valid = valid.at[dst].set(
+                    jnp.where(place, True, valid[dst]), mode="drop")
+        payload["valid"] = valid
+        return ShardedState(**payload)
+
+    # ------------------------------------------------------------------
+    def _compute(self, s: ShardedState, do_qeq, prep=False):
+        """Halo + neighbors + QEq + forces for the current configuration.
+        Returns (new q/qsfp/qsfv, force on residents, comps, nqeq).
+        `prep=True` forces a full CG solve and seeds qsfp (cold-start
+        warm-up of the extended-Lagrangian charge DOF)."""
+        spec = self.spec
+        ncap, mext = self.ncap, self.mext
+        dtype = self.dtype
+        mylo = self._local_frame()
+
+        plan, frac_ext, valid_ext = halo.build_plan(s.frac, s.valid, spec)
+        types_ext = halo.apply_plan(plan, s.types, spec)
+        gid_ext = halo.apply_plan(plan, s.gid, spec)
+        resident_ext = jnp.zeros(mext, bool).at[:ncap].set(s.valid)
+        amask = resident_ext
+        img = identity_image(mext, dtype)
+
+        pos_rel = (frac_ext - mylo[None, :]) @ self.Hg.T
+        nbrs, _ovf = neighbors.build_neighbors_cells(
+            pos_rel, valid_ext, types_ext, self.grid, self.ffd.rc2b,
+            self.ffd.rctap2, self.kb, self.knb)
+
+        refresh = lambda x: halo.apply_plan(plan, x[:ncap], spec)
+
+        cfg = self.cfg
+        q_ext = refresh(s.q)
+        isqeq = 1 if (prep and cfg.isQEq == 2) else cfg.isQEq
+        if cfg.isQEq and do_qeq:
+            res = qeq.solve(
+                pos_rel, q_ext, refresh(s.qsfp), self.Hg, types_ext, img,
+                nbrs, self.ffd, amask=amask, isqeq=isqeq,
+                nmax=cfg.NMAXQEq, tol=cfg.QEq_tol, lex_fqs=cfg.Lex_fqs,
+                allreduce=self._psum, refresh=refresh,
+                resident_ext=resident_ext)
+            q_new, nq = jnp.where(s.valid, res.q[:ncap], 0.0), res.iters
+        else:
+            q_new, nq = s.q, jnp.int32(0)
+        if (isqeq == 1 and do_qeq) and not (prep and cfg.isQEq == 2):
+            qsfp, qsfv = s.q, jnp.zeros_like(s.qsfv)
+        elif prep and cfg.isQEq == 2:
+            qsfp, qsfv = q_new, jnp.zeros_like(s.qsfv)
+        else:
+            qsfp, qsfv = s.qsfp, s.qsfv
+        q_ext_new = refresh(q_new)
+
+        def etot(frac_res):
+            fx = halo.apply_plan(plan, frac_res, spec, is_frac=True)
+            pr = (fx - mylo[None, :]) @ self.Hg.T
+            comps = reax.energy_components(
+                pr, q_ext_new, self.Hg, types_ext, gid_ext, img, nbrs,
+                self.ffd, amask=amask, caps=self.caps)
+            comps = self._psum(comps)
+            return comps[0], comps
+
+        (_, comps), g = jax.value_and_grad(etot, has_aux=True)(s.frac)
+        # d E/d pos = Hi^T dE/dfrac  (pos = frac @ H^T)
+        f = -(g @ self.Hi)
+        f = jnp.where(s.valid[:, None], f, 0.0)
+        return q_new, qsfp, qsfv, f, comps, nq
+
+    # ------------------------------------------------------------------
+    def _build_step(self):
+        cfg = self.cfg
+        dt = self.dt
+        mesh = self.mesh
+        specP = P(("x", "y", "z"))
+
+        def make(do_qeq: bool):
+            def step_block(s: ShardedState, f):
+                w = s.valid
+                v = s.vel + self.dthm[s.types][:, None] * f
+                v = jnp.where(w[:, None], v, 0.0)
+                qsfv = s.qsfv + 0.5 * dt * self.lex_w2 * (s.q - s.qsfp)
+                qsfp = s.qsfp + dt * qsfv
+                # drift in fractional space + global PBC wrap
+                frac = s.frac + (v @ self.Hi.T) * dt
+                frac = jnp.where(w[:, None], frac % 1.0, 0.0)
+                s = s._replace(frac=frac, vel=v, qsfp=qsfp, qsfv=qsfv)
+                s = self._migrate(s)
+
+                q, qsfp, qsfv, f2, comps, nq = self._compute(s, do_qeq)
+                v = s.vel + self.dthm[s.types][:, None] * f2
+                v = jnp.where(s.valid[:, None], v, 0.0)
+                qsfv = qsfv + 0.5 * dt * self.lex_w2 * (q - qsfp)
+                s = s._replace(vel=v, q=q, qsfp=qsfp, qsfv=qsfv)
+                ke = self._psum(jnp.sum(
+                    jnp.where(s.valid, self.hmas[s.types]
+                              * jnp.sum(v * v, axis=1), 0.0)))
+                return s, f2, comps, nq, ke
+
+            smap = jax.shard_map(
+                step_block, mesh=mesh,
+                in_specs=(ShardedState(*(specP,) * 8), specP),
+                out_specs=(ShardedState(*(specP,) * 8), specP, P(), P(),
+                           P()))
+            return jax.jit(smap)
+
+        self._step_qeq = make(True)
+        self._step_noqeq = make(False) if cfg.qstep > 1 else self._step_qeq
+        return self._step_qeq
+
+    def prepare(self):
+        """Initial QEq + FORCE (ref: main.F90:27-32) via the sharded path."""
+        def prep_block(s: ShardedState):
+            q, qsfp, qsfv, f, comps, nq = self._compute(s, True, prep=True)
+            return s._replace(q=q, qsfp=qsfp, qsfv=qsfv), f, comps, nq
+
+        specP = P(("x", "y", "z"))
+        fn = jax.jit(jax.shard_map(
+            prep_block, mesh=self.mesh,
+            in_specs=(ShardedState(*(specP,) * 8),),
+            out_specs=(ShardedState(*(specP,) * 8), specP, P(), P())))
+        self.sstate, self.force, self.comps, self.nqeq = fn(self.sstate)
+        return self.comps
+
+    def run(self, nsteps, step0: int = 0):
+        if not hasattr(self, "force"):
+            self.prepare()
+        for k in range(nsteps):
+            fn = (self._step_qeq if (step0 + k) % self.cfg.qstep == 0
+                  else self._step_noqeq)
+            out = fn(self.sstate, self.force)
+            self.sstate, self.force, self.comps, self.nqeq, self.ke = out
+        jax.block_until_ready(self.sstate.frac)
+        return self.comps
+
+    @property
+    def n_atoms(self):
+        return int(self.sstate.valid.sum())

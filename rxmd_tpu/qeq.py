@@ -55,12 +55,22 @@ def qeq_hessian(pos, H, types, img: ImageTable, nbrs: Neighbors, ffd: FFDev):
 def solve(pos, q, qsfp, H, types, img: ImageTable, nbrs: Neighbors,
           ffd: FFDev, amask=None, isqeq: int = 1, nmax: int = 500,
           tol: float = 1e-7, lex_fqs: float = 1.0, allreduce=None,
-          lmin_f32: bool = False) -> QEqResult:
+          lmin_f32: bool = False, refresh=None,
+          resident_ext=None) -> QEqResult:
     """Solve for charges.  isqeq=1: full CG (ref: qeq.F90:39-48);
     isqeq=2: extended-Lagrangian warm start, one iteration
-    (ref: qeq.F90:51-57)."""
+    (ref: qeq.F90:51-57).
+
+    Multi-device hooks: `allreduce` (psum under shard_map), `refresh`
+    (re-exchange ghost entries of a per-atom vector — the reference's
+    per-iteration MODE_QCOPY1/2 halos, ref: qeq.F90:86-164) and
+    `resident_ext` (which extended-index entries are locally resident,
+    for the Est pair weights, ref: qeq.F90:304-306).
+    """
     if allreduce is None:
         allreduce = lambda x: x
+    if refresh is None:
+        refresh = lambda x: x
     n = pos.shape[0]
     dtype = pos.dtype
     if amask is None:
@@ -72,7 +82,8 @@ def solve(pos, q, qsfp, H, types, img: ImageTable, nbrs: Neighbors,
     chi = jnp.where(amask, ffd.chi[types], 0.0)
 
     def matvec(x):
-        """(eta*I + H) x with ghost values gathered from owners."""
+        """(eta*I + H) x with ghost values refreshed from owners."""
+        x = refresh(x)
         xs = jnp.where(mask, x[oj], 0.0)
         return eta * x + jnp.sum(hess * xs, axis=1)
 
@@ -84,11 +95,14 @@ def solve(pos, q, qsfp, H, types, img: ImageTable, nbrs: Neighbors,
         return gs, gt, gnew
 
     # Est pair weight: 0.5 per directed entry plus another 0.5 when the
-    # neighbor is resident (ref: qeq.F90:304-306).  Ext index < n <=> resident.
+    # neighbor is locally resident (ref: qeq.F90:304-306).
     idxnb = jnp.where(mask, nbrs.idxnb, 0)
-    est_w = jnp.where(idxnb < n, 1.0, 0.5)
+    if resident_ext is None:
+        resident_ext = jnp.arange(img.owner.shape[0]) < n
+    est_w = jnp.where(resident_ext[idxnb], 1.0, 0.5)
 
     def electrostatic(qcur):
+        qcur = refresh(qcur)
         qj = jnp.where(mask, qcur[oj], 0.0)
         pair = jnp.sum(est_w * hess * qj, axis=1) * qcur
         per_atom = chi * qcur + 0.5 * eta * qcur * qcur + pair

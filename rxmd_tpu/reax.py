@@ -377,13 +377,25 @@ def _row_topk_slots(mask2d, cap):
     return jnp.where(valid, idx, 0), valid, mask2d.sum(axis=1, dtype=jnp.int32)
 
 
+def _cos_bound(dtype):
+    """Angle clamp (ref: module.F90:85-86).  The reference's 1-1e-12 is below
+    f32 resolution (would round to exactly 1 and blow up d/dcos sqrt(1-c^2));
+    widen it for single precision."""
+    return units.MAXANGLE if jnp.dtype(dtype) == jnp.float64 else 1.0 - 2e-6
+
+
+def _clip_cos(cos):
+    b = _cos_bound(cos.dtype)
+    return jnp.clip(cos, -b, b)
+
+
 def _angle_cos(rij, rjk, mask):
     """cos(theta_ijk) = -rij.rjk/(|rij||rjk|) with reference clamping
     (ref: pot.F90:394-396)."""
     nij = jnp.sqrt(_safe(jnp.sum(rij * rij, axis=-1), mask))
     njk = jnp.sqrt(_safe(jnp.sum(rjk * rjk, axis=-1), mask))
     cos = -jnp.sum(rij * rjk, axis=-1) / (nij * njk)
-    return jnp.clip(cos, units.MINANGLE, units.MAXANGLE), nij, njk
+    return _clip_cos(cos), nij, njk
 
 
 def e_3body(pos, H, types, img, nbrs, bo: BondOrder, lp: LonePair, amask,
@@ -499,11 +511,12 @@ def e_3body(pos, H, types, img, nbrs, bo: BondOrder, lp: LonePair, amask,
 
 def _unit_cross(u, v, mask):
     """Cross product of *normalized* inputs with norm floored at NSMALL
-    (ref: pot.F90:1524-1543)."""
+    (ref: pot.F90:1524-1543).  The floor is applied inside the sqrt so the
+    gradient is cut (not infinite) for collinear bonds."""
     c = jnp.cross(u, v)
-    nrm = jnp.sqrt(_safe(jnp.sum(c * c, axis=-1), mask))
-    nrm = jnp.maximum(nrm, units.NSMALL)
-    return c, nrm
+    floor = 1e-20 if c.dtype == jnp.float64 else 1e-12
+    nrm = jnp.sqrt(jnp.maximum(_safe(jnp.sum(c * c, axis=-1), mask), floor))
+    return c, jnp.maximum(nrm, units.NSMALL)
 
 
 def _torsion_mask(types, gid, img, nbrs, bo: BondOrder, amask, ffd: FFDev):
@@ -612,8 +625,7 @@ def e_4body(pos, H, types, img, nbrs, bo: BondOrder, amask, gid,
     ukl = rkl / nkl[..., None]
     crs1, n1 = _unit_cross(uij, ujk, valid)
     crs2, n2 = _unit_cross(ujk, ukl, valid)
-    cos_w = jnp.sum(crs1 * crs2, axis=-1) / (n1 * n2)
-    cos_w = jnp.clip(cos_w, units.MINANGLE, units.MAXANGLE)
+    cos_w = _clip_cos(jnp.sum(crs1 * crs2, axis=-1) / (n1 * n2))
     omega = jnp.arccos(cos_w)
     cos_2w = jnp.cos(2.0 * omega)
     cos_3w = jnp.cos(3.0 * omega)
