@@ -22,8 +22,8 @@ def main():
     from rxmd_tpu import ffield, system, md
     from rxmd_tpu.config import RunConfig
 
-    mc = (2, 2, 2)
-    nsteps = 40
+    mc = tuple(int(x) for x in os.environ.get("BENCH_MC", "3,3,3").split(","))
+    nsteps = int(os.environ.get("BENCH_STEPS", "20"))
     dtype = jnp.float32
     ff = ffield.parse_ffield("/root/reference/ffield")
     st = system.from_cellfile("/root/reference/conf/init.rdx/input.xyz",

@@ -1,0 +1,78 @@
+"""Command-line driver: the `rxmd` executable equivalent.
+
+Usage (mirrors the reference, ref: main.F90:2-114, cmdline.F90):
+
+    python -m rxmd_tpu [--rxmdin rxmd.in] [--ffield ffield] \
+        [--run_from_xyz cell.xyz] [--outDir DAT] [overrides...]
+
+Reads the rxmd.in deck, loads DAT/rxff.bin (reference format) or a native
+checkpoint DAT/rxff.npz or an input cell via --run_from_xyz, runs the MD
+loop with PRINTE-format output, and writes the final checkpoint.
+"""
+import os
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    from . import config, ffield, system, md
+    args = config.cli_parser().parse_args(argv)
+    cfg = config.RunConfig()
+    if os.path.exists(args.rxmdin):
+        cfg = config.parse_rxmd_in(args.rxmdin, cfg)
+    cfg = config.apply_cli(cfg, args)
+
+    ff = ffield.parse_ffield(cfg.ffield_path, lg=getattr(args, "lg", False))
+
+    import jax.numpy as jnp
+    dtype = jnp.dtype(cfg.dtype)
+    from .io import refbin, checkpoint
+    if args.run_from_xyz:
+        st = system.from_cellfile(args.run_from_xyz, ff.name_to_type,
+                                  dtype=dtype)
+    elif os.path.exists(os.path.join(cfg.data_dir, "rxff.npz")):
+        st = checkpoint.load(os.path.join(cfg.data_dir, "rxff.npz"), dtype)
+    elif os.path.exists(os.path.join(cfg.data_dir, "rxff.bin")):
+        st, _ = refbin.read_rxff_bin(os.path.join(cfg.data_dir, "rxff.bin"),
+                                     dtype)
+    else:
+        print("ERROR: no input configuration "
+              "(DAT/rxff.bin, DAT/rxff.npz or --run_from_xyz)",
+              file=sys.stderr)
+        return 1
+
+    eng = md.Engine(ff, st, cfg, dtype=dtype)
+    print("-" * 64)
+    print(f"{'parameter set:':>30s} {ff.header}")
+    print(f"{'time step[fs]:':>30s} {cfg.dt_fs:10.2e}")
+    print(f"{'MDMODE CURRENTSTEP NTIMESTPE:':>30s} {cfg.mdmode} "
+          f"{int(st.step)} {cfg.ntime_step}")
+    print(f"{'isQEq,QEq_tol,NMAXQEq,qstep:':>30s} {cfg.isQEq} "
+          f"{cfg.QEq_tol:.1e} {cfg.NMAXQEq} {cfg.qstep}")
+    print(f"{'NATOMS:':>30s} {st.n}")
+    print(f"{'neighbor caps kb/knb:':>30s} {eng.kb}/{eng.knb} "
+          f"caps {eng.caps}")
+    print("-" * 64)
+    print("nstep  TE  PE  KE: 1-Ebond 2-(Elnpr,Eover,Eunder) "
+          "3-(Eval,Epen,Ecoa) 4-(Etors,Econj) 5-Ehbond "
+          "6-(Evdw,EClmb,Echarge)")
+
+    os.makedirs(cfg.data_dir, exist_ok=True)
+
+    def writer(state, comps):
+        base = os.path.join(cfg.data_dir,
+                            f"{int(state.step):09d}")
+        eng.write_frame(base)
+
+    eng.run(cfg.ntime_step,
+            writer=writer if (cfg.is_xyz or cfg.is_pdb or cfg.is_bondfile
+                              or cfg.is_binary) else None)
+    checkpoint.save(os.path.join(cfg.data_dir, "rxff.npz"), eng.state)
+    refbin.write_rxff_bin(os.path.join(cfg.data_dir, "rxff.bin"), eng.state)
+    print("rxmd-tpu successfully finished")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

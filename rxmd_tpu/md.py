@@ -50,25 +50,49 @@ class Engine:
 
         # image table sized for the taper cutoff + drift margin
         H = np.asarray(state.H)
-        self.img = neighbors.make_image_table(
-            state.n, neighbors.nimg_for_cutoff(H, rctap), self.dtype)
+        nimg = neighbors.nimg_for_cutoff(H, rctap)
+        self.img = neighbors.make_image_table(state.n, nimg, self.dtype)
+
+        # large orthogonal systems: O(N) cell-list neighbor search; small or
+        # triclinic ones: brute force over the image set
+        from .ffield import effective_maxrc
+        maxrc = effective_maxrc(ff, np.asarray(state.types))
+        ortho = np.allclose(H, np.diag(np.diag(H)))
+        self.grid = None
+        if ortho and state.n >= 400:
+            L = np.diag(H)
+            lo = -np.asarray(nimg) * L
+            hi = (1.0 + np.asarray(nimg)) * L
+            self.grid = neighbors.make_cell_grid(lo, hi, max(maxrc, 2.0),
+                                                 rctap)
 
         # auto-size neighbor capacities from the initial configuration with
         # headroom (the reference uses fixed caps MAXNEIGHBS/MAXNEIGHBS10,
         # module.F90:81-82; we measure and pad)
         kb, knb = cfg.kb_cap, cfg.knb_cap
-        probe = neighbors.build_neighbors_brute(
-            self.state.pos, self.state.H, self.state.types, self.img,
-            self.ffd.rc2b, self.ffd.rctap2, 32, 1024)
+
+        def probe_build(pkb, pknb):
+            if self.grid is not None:
+                pose = neighbors.ext_positions(self.state.pos, self.state.H,
+                                               self.img)
+                nbrs, _ = neighbors.build_neighbors_cells(
+                    pose, jnp.ones(pose.shape[0], bool),
+                    self.state.types[self.img.owner], self.grid,
+                    self.ffd.rc2b, self.ffd.rctap2, pkb, pknb,
+                    nrows=self.state.n)
+                return nbrs
+            return neighbors.build_neighbors_brute(
+                self.state.pos, self.state.H, self.state.types, self.img,
+                self.ffd.rc2b, self.ffd.rctap2, pkb, pknb)
+
+        probe = probe_build(32, 1024)
         mb, mnb = neighbors.check_overflow(probe)
         kb = kb or _round_up(int(mb * 1.5) + 2, 4)
         knb = knb or min(_round_up(int(mnb * 1.3) + 8, 64), 2048)
         self.kb, self.knb = kb, knb
 
         # probe angle/torsion/hbond list occupancies for cap auto-sizing
-        probe2 = neighbors.build_neighbors_brute(
-            self.state.pos, self.state.H, self.state.types, self.img,
-            self.ffd.rc2b, self.ffd.rctap2, kb, knb)
+        probe2 = probe_build(kb, knb)
         tc = reax.term_counts(self.state.pos, self.state.H, self.state.types,
                               self.state.gid, self.img, probe2, self.ffd)
         self.caps = {
@@ -82,6 +106,13 @@ class Engine:
 
     # ------------------------------------------------------------------
     def _build_nbrs(self, pos, H, types):
+        if self.grid is not None:
+            pose = neighbors.ext_positions(pos, H, self.img)
+            valid = jnp.ones(pose.shape[0], bool)
+            nbrs, _ = neighbors.build_neighbors_cells(
+                pose, valid, types[self.img.owner], self.grid, self.ffd.rc2b,
+                self.ffd.rctap2, self.kb, self.knb, nrows=pos.shape[0])
+            return nbrs
         return neighbors.build_neighbors_brute(
             pos, H, types, self.img, self.ffd.rc2b, self.ffd.rctap2,
             self.kb, self.knb)
@@ -209,6 +240,38 @@ class Engine:
                 step=s.step + 1)
             return s2, f2, comps, nq, ke
         return step
+
+    # ------------------------------------------------------------------
+    def bond_table(self, bo_cutoff=0.3):
+        """(partner gids (N,kb), bond orders, counts) for .bnd output
+        (ref: WriteBND fileio.F90:27-148, BNDcutoff=0.3)."""
+        s = self.state
+        nbrs = self._build_nbrs(s.pos, s.H, s.types)
+        bo = reax.bond_order(s.pos, s.H, s.types, self.img, nbrs, self.ffd)
+        keep = bo.mask & (bo.bo[..., 0] > bo_cutoff)
+        idx = jnp.where(bo.mask, nbrs.idxb, 0)
+        gids = jnp.where(keep, s.gid[self.img.owner[idx]], -1)
+        # compact each row to the front
+        order = jnp.argsort(~keep, axis=1, stable=True)
+        gids = jnp.take_along_axis(gids, order, axis=1)
+        bos = jnp.take_along_axis(jnp.where(keep, bo.bo[..., 0], 0.0), order,
+                                  axis=1)
+        return gids, bos, keep.sum(axis=1)
+
+    def write_frame(self, base_path: str):
+        """Write configured trajectory formats (ref: OUTPUT fileio.F90:5-20)."""
+        from .io import traj, refbin, checkpoint
+        cfg = self.cfg
+        names = self.ff.atom_names
+        if cfg.is_xyz:
+            traj.write_xyz(base_path + ".xyz", self.state, names)
+        if cfg.is_pdb:
+            traj.write_pdb(base_path + ".pdb", self.state, names)
+        if cfg.is_bondfile:
+            g, b, c = self.bond_table()
+            traj.write_bnd(base_path + ".bnd", self.state, g, b, c)
+        if cfg.is_binary:
+            refbin.write_rxff_bin(base_path + ".bin", self.state)
 
     # ------------------------------------------------------------------
     def prepare(self):

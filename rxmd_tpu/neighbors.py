@@ -206,24 +206,28 @@ def _stencil_candidates(table, cid3, stencil, grid: CellGrid):
     return cand.reshape(cand.shape[0], -1)
 
 
-@functools.partial(jax.jit, static_argnames=("grid", "kb", "knb"))
+@functools.partial(jax.jit, static_argnames=("grid", "kb", "knb", "nrows"))
 def build_neighbors_cells(pos, valid, types, grid: CellGrid, rc2_by_type,
-                          rctap2, kb: int, knb: int):
+                          rctap2, kb: int, knb: int, nrows: int = None):
     """O(M) cell-list neighbor build over an extended atom set.
 
     `pos` are real coordinates inside [grid.lo, grid.lo+extent); `valid`
-    masks live entries.  Returns Neighbors with rows for every entry.
+    masks live entries.  Returns Neighbors with rows for the first `nrows`
+    entries (all by default) — the single-device image mode only needs rows
+    for the owned atoms, the sharded mode needs rows for ghosts too.
     """
     m = pos.shape[0]
+    nrows = nrows or m
     table, cid3, overflow = _cell_table(pos, valid, grid)
+    rowsl = slice(0, nrows)
 
     def lists(stencil, rc2_fn, cap):
-        cand = _stencil_candidates(table, cid3, stencil, grid)  # (M, C)
-        cidx = jnp.where(cand >= 0, cand, 0)
-        d = pos[:, None, :] - pos[cidx]
+        cand = _stencil_candidates(table, cid3[rowsl], stencil, grid)
+        cidx = jnp.where(cand >= 0, cand, 0)           # (nrows, C)
+        d = pos[rowsl, None, :] - pos[cidx]
         dr2 = jnp.sum(d * d, axis=-1)
-        mask = ((cand >= 0) & (cand != jnp.arange(m)[:, None])
-                & valid[:, None] & valid[cidx] & rc2_fn(dr2, cidx))
+        mask = ((cand >= 0) & (cand != jnp.arange(nrows)[:, None])
+                & valid[rowsl, None] & valid[cidx] & rc2_fn(dr2, cidx))
         slot = _select_k(mask, cap)                    # positions in cand row
         idx = jnp.where(slot >= 0,
                         jnp.take_along_axis(cidx, jnp.maximum(slot, 0),
@@ -233,7 +237,7 @@ def build_neighbors_cells(pos, valid, types, grid: CellGrid, rc2_by_type,
     tj = types
     idxb, cntb = lists(
         grid.stencil_b,
-        lambda dr2, c: dr2 < rc2_by_type[tj[:, None], tj[c]], kb)
+        lambda dr2, c: dr2 < rc2_by_type[tj[rowsl, None], tj[c]], kb)
     idxnb, cntnb = lists(
         grid.stencil_nb, lambda dr2, c: dr2 <= rctap2, knb)
     return Neighbors(idxb=idxb, cntb=cntb, idxnb=idxnb, cntnb=cntnb), overflow
