@@ -59,6 +59,8 @@ class RunConfig:
     dtype: str = "float64"       # validation default; use float32 on TPU
     kb_cap: int = 0              # 0 = auto-size from first neighbor build
     knb_cap: int = 0
+    nbr_skin: float = 1.0        # Verlet skin [A] added to list cutoffs
+    rebuild_every: int = 10      # neighbor-list rebuild cadence [steps]
     spring_const: float = 0.0
     spring_types: tuple = ()
 

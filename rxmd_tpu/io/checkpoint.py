@@ -21,11 +21,12 @@ def save(path: str, state: State):
         q=np.asarray(state.q), qsfp=np.asarray(state.qsfp),
         qsfv=np.asarray(state.qsfv), types=np.asarray(state.types),
         gid=np.asarray(state.gid), H=np.asarray(state.H),
-        step=int(state.step))
+        step=int(state.step), spos=np.asarray(state.spos))
 
 
 def load(path: str, dtype=np.float64) -> State:
     z = np.load(path)
     return make_state(z["pos"], z["types"], z["H"], vel=z["vel"], q=z["q"],
                       qsfp=z["qsfp"], qsfv=z["qsfv"], gid=z["gid"],
-                      step=int(z["step"]), dtype=dtype)
+                      step=int(z["step"]),
+                      spos=z["spos"] if "spos" in z else None, dtype=dtype)

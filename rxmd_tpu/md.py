@@ -27,6 +27,57 @@ def _round_up(x, m):
     return int(-(-x // m) * m)
 
 
+def probe_capacities(ff: ForceField, state: State, ffd, rctap, dtype,
+                     skin: float = 0.0):
+    """Measure neighbor and interaction-list occupancies of a configuration
+    on host CPU and derive padded static capacities (the analog of the
+    reference's maxas headroom statistics, main.F90:128-146)."""
+    import jax as _jax
+    import numpy as _np
+    H = _np.asarray(state.H)
+    nimg = neighbors.nimg_for_cutoff(H, rctap + skin)
+    rc2b_p = _np.asarray(ffd.rc2b)
+    rc2b_p = jnp.asarray((_np.sqrt(rc2b_p) + skin) ** 2 * (rc2b_p > 0),
+                         dtype)
+    rctap2_p = jnp.asarray((rctap + skin) ** 2, dtype)
+    with _jax.default_device(_jax.devices("cpu")[0]):
+        img = neighbors.make_image_table(state.n, nimg, dtype)
+        from .ffield import effective_maxrc
+        maxrc = effective_maxrc(ff, _np.asarray(state.types))
+        ortho = _np.allclose(H, _np.diag(_np.diag(H)))
+        grid = None
+        if ortho and state.n >= 400:
+            L = _np.diag(H)
+            grid = neighbors.make_cell_grid(
+                -_np.asarray(nimg) * L, (1.0 + _np.asarray(nimg)) * L,
+                max(maxrc + skin, 2.0), rctap + skin)
+
+        def build(pkb, pknb):
+            if grid is not None:
+                pose = neighbors.ext_positions(state.pos, state.H, img)
+                nbrs, _ = neighbors.build_neighbors_cells(
+                    pose, jnp.ones(pose.shape[0], bool),
+                    state.types[img.owner], grid, rc2b_p, rctap2_p,
+                    pkb, pknb, nrows=state.n)
+                return nbrs
+            return neighbors.build_neighbors_brute(
+                state.pos, state.H, state.types, img, rc2b_p, rctap2_p,
+                pkb, pknb)
+
+        probe = build(32, 2048)
+        mb, mnb = neighbors.check_overflow(probe)
+        kb = _round_up(int(mb * 1.5) + 2, 4)
+        knb = min(_round_up(int(mnb * 1.3) + 8, 64), 4096)
+        tc = reax.term_counts(state.pos, state.H, state.types, state.gid,
+                              img, build(kb, knb), ffd)
+    caps = {"ang": _round_up(int(tc["ang"] * 1.4) + 2, 4),
+            "tor": _round_up(int(tc["tor"] * 1.4) + 4, 8),
+            "hb": max(_round_up(int(tc["hb"] * 1.4) + 2, 4), 4),
+            "ks": _round_up(tc["degmax"] + 2, 2),
+            "kh": max(_round_up(tc.get("h_slots", 4) + 1, 2), 2)}
+    return kb, knb, caps
+
+
 class Engine:
     """Single-device MD engine (the multi-device engine shards this same
     step over a mesh — see parallel/)."""
@@ -38,6 +89,12 @@ class Engine:
         self.dtype = dtype or jnp.dtype(cfg.dtype)
         rctap = units.RCTAP0_PQEQ if cfg.isPQEq else units.RCTAP0
         self.rctap = rctap
+        self.pq = None
+        if cfg.isPQEq:
+            from . import pqeq as pqeq_mod
+            par = pqeq_mod.parse_pqeq_par(cfg.pqeq_parm_path)
+            pqeq_mod.apply_to_ff(ff, par)   # chi/eta overrides before ffdev
+            self.pq = pqeq_mod.make_pqeq(par, dtype=self.dtype, rctap=rctap)
         self.ffd = reax.ffdev_from(ff, dtype=self.dtype, rctap=rctap)
         self.state = state.astype(self.dtype)
 
@@ -48,9 +105,9 @@ class Engine:
         self.hmas = jnp.asarray(0.5 * ff.mass, self.dtype)
         self.treq_red = cfg.treq / units.UTEMP0
 
-        # image table sized for the taper cutoff + drift margin
+        # image table sized for the skinned taper cutoff
         H = np.asarray(state.H)
-        nimg = neighbors.nimg_for_cutoff(H, rctap)
+        nimg = neighbors.nimg_for_cutoff(H, rctap + cfg.nbr_skin)
         self.img = neighbors.make_image_table(state.n, nimg, self.dtype)
 
         # large orthogonal systems: O(N) cell-list neighbor search; small or
@@ -63,58 +120,44 @@ class Engine:
             L = np.diag(H)
             lo = -np.asarray(nimg) * L
             hi = (1.0 + np.asarray(nimg)) * L
-            self.grid = neighbors.make_cell_grid(lo, hi, max(maxrc, 2.0),
-                                                 rctap)
+            self.grid = neighbors.make_cell_grid(
+                lo, hi, max(maxrc + cfg.nbr_skin, 2.0), rctap + cfg.nbr_skin)
 
         # auto-size neighbor capacities from the initial configuration with
         # headroom (the reference uses fixed caps MAXNEIGHBS/MAXNEIGHBS10,
         # module.F90:81-82; we measure and pad)
-        kb, knb = cfg.kb_cap, cfg.knb_cap
+        # Verlet skin: neighbor lists are built with extended cutoffs and
+        # reused for `rebuild_every` steps; the energy kernels re-check the
+        # true cutoffs (bo.F90:65 / pot.F90:720 semantics preserved)
+        self.skin = cfg.nbr_skin
+        self.rebuild_every = cfg.rebuild_every
+        rc2b = np.asarray(self.ffd.rc2b)
+        rcb_ext = (np.sqrt(rc2b) + self.skin) ** 2 * (rc2b > 0)
+        self.rc2b_ext = jnp.asarray(rcb_ext, self.dtype)
+        self.rctap2_ext = jnp.asarray((rctap + self.skin) ** 2, self.dtype)
 
-        def probe_build(pkb, pknb):
-            if self.grid is not None:
-                pose = neighbors.ext_positions(self.state.pos, self.state.H,
-                                               self.img)
-                nbrs, _ = neighbors.build_neighbors_cells(
-                    pose, jnp.ones(pose.shape[0], bool),
-                    self.state.types[self.img.owner], self.grid,
-                    self.ffd.rc2b, self.ffd.rctap2, pkb, pknb,
-                    nrows=self.state.n)
-                return nbrs
-            return neighbors.build_neighbors_brute(
-                self.state.pos, self.state.H, self.state.types, self.img,
-                self.ffd.rc2b, self.ffd.rctap2, pkb, pknb)
-
-        probe = probe_build(32, 1024)
-        mb, mnb = neighbors.check_overflow(probe)
-        kb = kb or _round_up(int(mb * 1.5) + 2, 4)
-        knb = knb or min(_round_up(int(mnb * 1.3) + 8, 64), 2048)
-        self.kb, self.knb = kb, knb
-
-        # probe angle/torsion/hbond list occupancies for cap auto-sizing
-        probe2 = probe_build(kb, knb)
-        tc = reax.term_counts(self.state.pos, self.state.H, self.state.types,
-                              self.state.gid, self.img, probe2, self.ffd)
-        self.caps = {
-            "ang": _round_up(int(tc["ang"] * 1.4) + 2, 4),
-            "tor": _round_up(int(tc["tor"] * 1.4) + 4, 8),
-            "hb": max(_round_up(int(tc["hb"] * 1.4) + 2, 4), 4),
-        }
+        kb, knb, self.caps = probe_capacities(ff, self.state, self.ffd,
+                                              rctap, self.dtype,
+                                              skin=self.skin)
+        self.kb = cfg.kb_cap or kb
+        self.knb = cfg.knb_cap or knb
 
         self._step = jax.jit(self._make_step())
         self._prepare = jax.jit(self._make_prepare())
+        self._rebuild = jax.jit(self._make_rebuild())
 
     # ------------------------------------------------------------------
     def _build_nbrs(self, pos, H, types):
+        """Neighbor lists with the Verlet-skin-extended cutoffs."""
         if self.grid is not None:
             pose = neighbors.ext_positions(pos, H, self.img)
             valid = jnp.ones(pose.shape[0], bool)
             nbrs, _ = neighbors.build_neighbors_cells(
-                pose, valid, types[self.img.owner], self.grid, self.ffd.rc2b,
-                self.ffd.rctap2, self.kb, self.knb, nrows=pos.shape[0])
+                pose, valid, types[self.img.owner], self.grid, self.rc2b_ext,
+                self.rctap2_ext, self.kb, self.knb, nrows=pos.shape[0])
             return nbrs
         return neighbors.build_neighbors_brute(
-            pos, H, types, self.img, self.ffd.rc2b, self.ffd.rctap2,
+            pos, H, types, self.img, self.rc2b_ext, self.rctap2_ext,
             self.kb, self.knb)
 
     def _wrap(self, pos, H):
@@ -124,25 +167,39 @@ class Engine:
         frac = (pos @ Hi.T) % 1.0
         return frac @ H.T
 
-    def _qeq_step(self, pos, q, qsfp, qsfv, H, types, nbrs, isqeq=None):
+    def _qeq_step(self, pos, q, qsfp, qsfv, H, types, nbrs, isqeq=None,
+                  spos=None):
         cfg = self.cfg
         isqeq = cfg.isQEq if isqeq is None else isqeq
         if isqeq == 0:
-            return q, qsfp, qsfv, jnp.int32(0)
+            return q, qsfp, qsfv, jnp.int32(0), spos
+        if self.pq is not None:
+            from . import pqeq as pqeq_mod
+            qn, spos_n, iters, _ = pqeq_mod.solve(
+                pos, spos, q, qsfp, H, types, self.img, nbrs, self.ffd,
+                self.pq, isqeq=isqeq, nmax=cfg.NMAXQEq, tol=cfg.QEq_tol,
+                lex_fqs=cfg.Lex_fqs)
+            if isqeq == 1:
+                return qn, q, jnp.zeros_like(qsfv), iters, spos_n
+            return qn, qsfp, qsfv, iters, spos_n
         res = qeq.solve(pos, q, qsfp, H, types, self.img, nbrs, self.ffd,
                         isqeq=isqeq, nmax=cfg.NMAXQEq, tol=cfg.QEq_tol,
                         lex_fqs=cfg.Lex_fqs)
         if isqeq == 1:
             # fictitious charges re-seeded from pre-QEq q (ref: qeq.F90:42-43)
-            return res.q, q, jnp.zeros_like(qsfv), res.iters
-        return res.q, qsfp, qsfv, res.iters
+            return res.q, q, jnp.zeros_like(qsfv), res.iters, spos
+        return res.q, qsfp, qsfv, res.iters, spos
 
-    def _forces(self, pos, q, H, types, gid, nbrs):
+    def _forces(self, pos, q, H, types, gid, nbrs, spos=None):
         comps, f = reax.energy_and_forces(pos, q, H, types, gid, self.img,
-                                          nbrs, self.ffd, caps=self.caps)
+                                          nbrs, self.ffd, caps=self.caps,
+                                          pq=self.pq, spos=spos)
         if self.cfg.isEfield:
             # constant-field force on core charges (ref: module.F90:359-383)
-            fe = -q * self.cfg.eFieldStrength * units.EEV_KCAL
+            qc = q
+            if self.pq is not None:
+                qc = q + self.pq.Z[types]   # ref: EEfield module.F90:374-378
+            fe = -qc * self.cfg.eFieldStrength * units.EEV_KCAL
             f = f.at[:, self.cfg.eFieldDir].add(fe)
         return comps, f
 
@@ -187,20 +244,32 @@ class Engine:
         return v - vcm[None, :]
 
     # ------------------------------------------------------------------
+    def _make_rebuild(self):
+        """Wrap positions into the box and rebuild the skinned neighbor
+        lists.  Called every `rebuild_every` steps; between rebuilds the
+        positions evolve unwrapped so the stale image assignments stay
+        geometrically consistent."""
+        def rebuild(s: State):
+            pos = self._wrap(s.pos, s.H)
+            nbrs = self._build_nbrs(pos, s.H, s.types)
+            return dataclasses.replace(s, pos=pos), nbrs
+        return rebuild
+
     def _make_prepare(self):
         """Initial QEq + FORCE before the main loop (ref: main.F90:27-32)."""
-        def prepare(s: State):
-            nbrs = self._build_nbrs(s.pos, s.H, s.types)
+        def prepare(s: State, nbrs):
             # cold-start extended Lagrangian: one full CG solve to seed the
             # fictitious charge DOF (production restarts load qsfp from the
             # checkpoint instead, ref: fileio.F90:534-535)
             isq = 1 if self.cfg.isQEq == 2 else None
-            q, qsfp, qsfv, nq = self._qeq_step(
-                s.pos, s.q, s.qsfp, s.qsfv, s.H, s.types, nbrs, isqeq=isq)
+            q, qsfp, qsfv, nq, spos = self._qeq_step(
+                s.pos, s.q, s.qsfp, s.qsfv, s.H, s.types, nbrs, isqeq=isq,
+                spos=s.spos)
             if self.cfg.isQEq == 2:
                 qsfp, qsfv = q, jnp.zeros_like(qsfv)
-            comps, f = self._forces(s.pos, q, s.H, s.types, s.gid, nbrs)
-            s = dataclasses.replace(s, q=q, qsfp=qsfp, qsfv=qsfv)
+            comps, f = self._forces(s.pos, q, s.H, s.types, s.gid, nbrs,
+                                    spos=spos)
+            s = dataclasses.replace(s, q=q, qsfp=qsfp, qsfv=qsfv, spos=spos)
             return s, f, comps, nq
         return prepare
 
@@ -208,7 +277,7 @@ class Engine:
         cfg = self.cfg
         dt = self.dt
 
-        def step(s: State, f):
+        def step(s: State, f, nbrs):
             do_scale = (s.step % cfg.sstep) == 0
             s = self._thermostat(s, do_scale)
 
@@ -217,18 +286,18 @@ class Engine:
             # extended-Lagrangian charge DOF leapfrog (ref: main.F90:67-68)
             qsfv = s.qsfv + 0.5 * dt * self.lex_w2 * (s.q - s.qsfp)
             qsfp = s.qsfp + dt * qsfv
-            # drift (ref: main.F90:72) + PBC wrap (migration analog)
-            pos = self._wrap(s.pos + dt * v, s.H)
+            # drift (ref: main.F90:72); wrapping happens at list rebuilds
+            pos = s.pos + dt * v
 
-            nbrs = self._build_nbrs(pos, s.H, s.types)
             do_qeq = (s.step % cfg.qstep) == 0
-            q, qsfp, qsfv, nq = jax.lax.cond(
+            q, qsfp, qsfv, nq, spos = jax.lax.cond(
                 do_qeq,
                 lambda: self._qeq_step(pos, s.q, qsfp, qsfv, s.H, s.types,
-                                       nbrs),
-                lambda: (s.q, qsfp, qsfv, jnp.int32(0)))
+                                       nbrs, spos=s.spos),
+                lambda: (s.q, qsfp, qsfv, jnp.int32(0), s.spos))
 
-            comps, f2 = self._forces(pos, q, s.H, s.types, s.gid, nbrs)
+            comps, f2 = self._forces(pos, q, s.H, s.types, s.gid, nbrs,
+                                     spos=spos)
 
             # second half kick (ref: main.F90:97-98)
             v = v + self.dthm[s.types][:, None] * f2
@@ -236,7 +305,7 @@ class Engine:
 
             ke = jnp.sum(self.hmas[s.types] * jnp.sum(v * v, axis=1))
             s2 = dataclasses.replace(
-                s, pos=pos, vel=v, q=q, qsfp=qsfp, qsfv=qsfv,
+                s, pos=pos, vel=v, q=q, qsfp=qsfp, qsfv=qsfv, spos=spos,
                 step=s.step + 1)
             return s2, f2, comps, nq, ke
         return step
@@ -275,7 +344,9 @@ class Engine:
 
     # ------------------------------------------------------------------
     def prepare(self):
-        s, f, comps, nq = self._prepare(self.state)
+        self.state, self.nbrs = self._rebuild(self.state)
+        self._steps_since_rebuild = 0
+        s, f, comps, nq = self._prepare(self.state, self.nbrs)
         self.state = s
         self.force = f
         self.comps = comps
@@ -309,8 +380,12 @@ class Engine:
                 log(self.printe_line())
             if writer is not None and int(self.state.step) % cfg.fstep == 0:
                 writer(self.state, self.comps)
-            out = self._step(self.state, self.force)
+            if self._steps_since_rebuild >= self.rebuild_every:
+                self.state, self.nbrs = self._rebuild(self.state)
+                self._steps_since_rebuild = 0
+            out = self._step(self.state, self.force, self.nbrs)
             self.state, self.force, self.comps, self.nqeq, self._ke = out
+            self._steps_since_rebuild += 1
         jax.block_until_ready(self.state.pos)
         wall = time.time() - t0
         if log:

@@ -122,7 +122,10 @@ class ShardedEngine:
         self.mesh = Mesh(np.asarray(devices[:ndev]).reshape(mesh_shape),
                          ("x", "y", "z"))
 
-        rctap = units.RCTAP0_PQEQ if cfg.isPQEq else units.RCTAP0
+        if cfg.isPQEq:
+            raise NotImplementedError(
+                "PQEq is currently single-device only; use md.Engine")
+        rctap = units.RCTAP0
         self.ffd = reax.ffdev_from(ff, dtype=self.dtype, rctap=rctap)
         self.state0 = state.astype(self.dtype)
         H = np.asarray(state.H)
@@ -160,25 +163,10 @@ class ShardedEngine:
             skin_frac=tuple(skin / L), ncap=ncap, bcap=bcap)
         self.mext = ncap + 6 * bcap
 
-        # neighbor/term capacities from a single-device probe
-        img = neighbors.make_image_table(
-            state.n, neighbors.nimg_for_cutoff(H, rctap), self.dtype)
-        probe = neighbors.build_neighbors_brute(
-            self.state0.pos, self.state0.H, self.state0.types, img,
-            self.ffd.rc2b, self.ffd.rctap2, 32, 1024)
-        mb, mnb = neighbors.check_overflow(probe)
-        self.kb = int(-(-int(mb * 1.5 + 2) // 4) * 4)
-        self.knb = min(int(-(-int(mnb * 1.3 + 8) // 64) * 64), 2048)
-        probe2 = neighbors.build_neighbors_brute(
-            self.state0.pos, self.state0.H, self.state0.types, img,
-            self.ffd.rc2b, self.ffd.rctap2, self.kb, self.knb)
-        tc = reax.term_counts(self.state0.pos, self.state0.H,
-                              self.state0.types, self.state0.gid, img,
-                              probe2, self.ffd)
-        r4 = lambda x, m: int(-(-x // m) * m)
-        self.caps = {"ang": r4(int(tc["ang"] * 1.4) + 2, 4),
-                     "tor": r4(int(tc["tor"] * 1.4) + 4, 8),
-                     "hb": max(r4(int(tc["hb"] * 1.4) + 2, 4), 4)}
+        # neighbor/term capacities from a single-device probe (on host CPU)
+        from ..md import probe_capacities
+        self.kb, self.knb, self.caps = probe_capacities(
+            ff, self.state0, self.ffd, rctap, self.dtype)
 
         # local cell grid over the skin-extended subdomain (frac-relative)
         lo = -skin * np.ones(3)

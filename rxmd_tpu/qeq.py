@@ -67,6 +67,7 @@ def solve(pos, q, qsfp, H, types, img: ImageTable, nbrs: Neighbors,
     `resident_ext` (which extended-index entries are locally resident,
     for the Est pair weights, ref: qeq.F90:304-306).
     """
+    local_only = refresh is None
     if allreduce is None:
         allreduce = lambda x: x
     if refresh is None:
@@ -81,11 +82,38 @@ def solve(pos, q, qsfp, H, types, img: ImageTable, nbrs: Neighbors,
     eta = jnp.where(amask, ffd.eta[types], 0.0)
     chi = jnp.where(amask, ffd.chi[types], 0.0)
 
-    def matvec(x):
-        """(eta*I + H) x with ghost values refreshed from owners."""
-        x = refresh(x)
-        xs = jnp.where(mask, x[oj], 0.0)
-        return eta * x + jnp.sum(hess * xs, axis=1)
+    # Est pair weight: 0.5 per directed entry plus another 0.5 when the
+    # neighbor is locally resident (ref: qeq.F90:304-306).
+    idxnb = jnp.where(mask, nbrs.idxnb, 0)
+    if resident_ext is None:
+        resident_ext = jnp.arange(img.owner.shape[0]) < n
+    est_w = jnp.where(resident_ext[idxnb], 1.0, 0.5)
+
+    # On a single shard with moderate N the sparse ELL matvec (a (n, knb)
+    # gather per CG step) is gather-bound on TPU; fold the owner mapping
+    # into a dense matrix once and ride the MXU instead.
+    dense = local_only and n <= 8192
+    if dense:
+        row = jnp.broadcast_to(jnp.arange(n)[:, None], oj.shape)
+        hz = jnp.where(mask, hess, 0.0)
+        Hd = jnp.zeros((n, n), dtype).at[row, oj].add(hz)
+        Ew = jnp.zeros((n, n), dtype).at[row, oj].add(est_w * hz)
+
+        def matvec(x):
+            return eta * x + Hd @ x
+
+        def pair_energy(qcur):
+            return (Ew @ qcur) * qcur
+    else:
+        def matvec(x):
+            """(eta*I + H) x with ghost values refreshed from owners."""
+            x = refresh(x)
+            xs = jnp.where(mask, x[oj], 0.0)
+            return eta * x + jnp.sum(hess * xs, axis=1)
+
+        def pair_energy(qcur):
+            qj = jnp.where(mask, refresh(qcur)[oj], 0.0)
+            return jnp.sum(est_w * hess * qj, axis=1) * qcur
 
     def gradient(qs, qt):
         gs = jnp.where(amask, -chi - matvec(qs), 0.0)
@@ -94,18 +122,8 @@ def solve(pos, q, qsfp, H, types, img: ImageTable, nbrs: Neighbors,
                           allreduce(jnp.sum(gt * gt))])
         return gs, gt, gnew
 
-    # Est pair weight: 0.5 per directed entry plus another 0.5 when the
-    # neighbor is locally resident (ref: qeq.F90:304-306).
-    idxnb = jnp.where(mask, nbrs.idxnb, 0)
-    if resident_ext is None:
-        resident_ext = jnp.arange(img.owner.shape[0]) < n
-    est_w = jnp.where(resident_ext[idxnb], 1.0, 0.5)
-
     def electrostatic(qcur):
-        qcur = refresh(qcur)
-        qj = jnp.where(mask, qcur[oj], 0.0)
-        pair = jnp.sum(est_w * hess * qj, axis=1) * qcur
-        per_atom = chi * qcur + 0.5 * eta * qcur * qcur + pair
+        per_atom = chi * qcur + 0.5 * eta * qcur * qcur + pair_energy(qcur)
         return allreduce(jnp.sum(jnp.where(amask, per_atom, 0.0)))
 
     if isqeq == 2:

@@ -219,6 +219,9 @@ def bond_order(pos, H, types, img: ImageTable, nbrs: Neighbors,
 
     dr = pos[:, None, :] - pose[idx]
     dr2 = jnp.sum(dr * dr, axis=-1)
+    # re-check the true sigma-bond cutoff (ref: bo.F90:65) — neighbor lists
+    # may carry a Verlet skin margin
+    mask = mask & (dr2 <= ffd.rc2b[ti, tj])
     dr2s = _safe(dr2, mask)
 
     # --- BO' (ref: bo.F90:62-110)
@@ -367,6 +370,19 @@ def e_lnpr(types, img, nbrs, bo: BondOrder, lp: LonePair, amask,
     return (jnp.sum(w * pelp), jnp.sum(w * peover), jnp.sum(w * peunder))
 
 
+def _shift_code(shift):
+    """Pack an integer periodic shift (components in [-4,4]) into one int."""
+    si = jnp.round(shift).astype(jnp.int32)
+    return ((si[..., 0] + 4) * 9 + (si[..., 1] + 4)) * 9 + (si[..., 2] + 4)
+
+
+def _ext_key(img):
+    """Unique integer identity of each extended entry: owner * 729 + packed
+    shift.  Two ext entries are the same physical atom instance iff their
+    keys match (used for the i!=l / j!=l torsion exclusions)."""
+    return img.owner.astype(jnp.int32) * 729 + _shift_code(img.shift)
+
+
 def _row_topk_slots(mask2d, cap):
     """Per-row compaction: indices of up to `cap` True entries of a (n, S)
     boolean mask, lowest index first.  Returns (idx (n,cap), valid (n,cap),
@@ -398,16 +414,27 @@ def _angle_cos(rij, rjk, mask):
     return _clip_cos(cos), nij, njk
 
 
+def strong_slots(bo: BondOrder, ks: int):
+    """Per-atom compaction of bonded slots with BO0 > cutof2_esub — almost
+    all many-body enumeration only involves these 'real' bonds (typ. <= 10),
+    so list construction runs on (n, ks..) instead of (n, kb..) grids."""
+    bo0_sg = jax.lax.stop_gradient(bo.bo[..., 0])
+    okb = bo.mask & (bo0_sg > units.CUTOF2_ESUB)
+    sslot, svalid, cnt = _row_topk_slots(okb, ks)
+    return sslot, svalid, cnt
+
+
 def e_3body(pos, H, types, img, nbrs, bo: BondOrder, lp: LonePair, amask,
-            ffd: FFDev, cap: int = 16):
+            ffd: FFDev, cap: int = 16, ks: int = 12):
     """Valence angle + penalty + 3-body conjugation (ref: pot.F90:355-549).
 
-    Unordered slot pairs (i1 < k1) of every resident center j are first
+    Unordered pairs of strong bonds of every resident center j are first
     compacted into a per-atom padded angle list of capacity `cap` (built on
     stop-gradient data), then the energy is evaluated per list entry —
     O(N*cap) work instead of O(N*kb^2).
     """
     n, kb = nbrs.idxb.shape
+    ks = min(ks, kb)
     pose = ext_positions(pos, H, img)
     maskp = bo.mask
     idx = jnp.where(maskp, nbrs.idxb, 0)
@@ -418,24 +445,26 @@ def e_3body(pos, H, types, img, nbrs, bo: BondOrder, lp: LonePair, amask,
     bo0 = bo.bo[..., 0]
     esub = units.CUTOF2_ESUB
 
-    # ---- list construction (non-differentiable)
-    bo0_sg = jax.lax.stop_gradient(bo0)
-    okb = (maskp & (bo0_sg > esub))
-    slot = jnp.arange(kb)
-    pm = (okb[:, :, None] & okb[:, None, :]
-          & (slot[:, None] < slot[None, :])[None]
-          & (bo0_sg[:, :, None] * bo0_sg[:, None, :] > esub)
+    # ---- list construction (non-differentiable) on the strong-bond sublist
+    row = jnp.arange(n)[:, None]
+    sslot, svalid, _ = strong_slots(bo, ks)
+    bo_s = jax.lax.stop_gradient(bo0)[row, sslot]      # (n, ks)
+    tn_s = tnbr[row, sslot]
+    pm = (svalid[:, :, None] & svalid[:, None, :]
+          & (sslot[:, :, None] < sslot[:, None, :])
+          & (bo_s[:, :, None] * bo_s[:, None, :] > esub)
           & amask[:, None, None])
-    a3_full = ffd.inxn3[tnbr[:, :, None],
-                        jnp.broadcast_to(tj[:, None, None], pm.shape),
-                        tnbr[:, None, :]]
-    pm = pm & (a3_full >= 0)
-    s, valid, _ = _row_topk_slots(pm.reshape(n, kb * kb), cap)
-    a, c = s // kb, s % kb                              # (n, cap) slot pairs
+    a3_s = ffd.inxn3[tn_s[:, :, None],
+                     jnp.broadcast_to(tj[:, None, None], pm.shape),
+                     tn_s[:, None, :]]
+    pm = pm & (a3_s >= 0)
+    s, valid, _ = _row_topk_slots(pm.reshape(n, ks * ks), cap)
+    a = sslot[row, s // ks]                             # original slot pairs
+    c = sslot[row, s % ks]
 
     # ---- per-entry gathers
-    row = jnp.arange(n)[:, None]
-    a3 = jnp.where(valid, a3_full[row, a, c], 0)
+    a3 = ffd.inxn3[tnbr[row, a], tj[:, None], tnbr[row, c]]
+    a3 = jnp.where(valid, a3, 0)
     boij = bo0[row, a] - esub
     bojk = bo0[row, c] - esub
     idx_i = idx[row, a]
@@ -519,21 +548,35 @@ def _unit_cross(u, v, mask):
     return c, jnp.maximum(nrm, units.NSMALL)
 
 
-def _torsion_mask(types, gid, img, nbrs, bo: BondOrder, amask, ffd: FFDev):
-    """Dense (n, a, c, e) torsion validity mask on stop-gradient data
-    (all reference enumeration gates, ref: pot.F90:1019-1081)."""
+def _torsion_mask(types, gid, img, nbrs, bo: BondOrder, amask, ffd: FFDev,
+                  ks: int = 12):
+    """Compact (n, a, c, e) torsion validity mask over strong-bond sublists,
+    on stop-gradient data (all reference enumeration gates,
+    ref: pot.F90:1019-1081).  Axes index the per-atom strong-slot lists;
+    returns (mask, sslot, svalid) for mapping back to original slots."""
     n, kb = nbrs.idxb.shape
+    ks = min(ks, kb)
     maskp = bo.mask
     idx = jnp.where(maskp, nbrs.idxb, 0)
     oj = img.owner[idx]
     esub = units.CUTOF2_ESUB
+    row = jnp.arange(n)[:, None]
+
+    sslot, svalid, _ = strong_slots(bo, ks)
     bo_sg = jax.lax.stop_gradient(bo.bo[..., 0])
-    shift_k = img.shift[idx]
-    idx_le = jnp.where(maskp, nbrs.idxb, 0)[oj]        # (n, c, e)
-    mask_le = maskp[oj]
-    bokl_sg = bo_sg[oj]
-    own_l = img.owner[idx_le]
-    shf_l = img.shift[idx_le] + shift_k[:, :, None, :]
+    bo_s = bo_sg[row, sslot]                           # (n, ks)
+    idx_s = idx[row, sslot]                            # ext index per strong slot
+    oj_s = oj[row, sslot]                              # owner rows
+    key_ext = _ext_key(img)
+
+    # l-side: strong slots of owner(k), translated by k's shift
+    sslot_l = sslot[oj_s]                              # (n, c, e)
+    svalid_l = svalid[oj_s]
+    bo_kl = bo_sg[oj_s[:, :, None], sslot_l]
+    idx_le = idx[oj_s[:, :, None], sslot_l]            # ext index of l
+    shift_k = img.shift[idx_s]                         # (n, c, 3)
+    key_l = (img.owner[idx_le].astype(jnp.int32) * 729
+             + _shift_code(img.shift[idx_le] + shift_k[:, :, None, :]))
 
     def A(x):
         return x[:, :, None, None]
@@ -544,39 +587,35 @@ def _torsion_mask(types, gid, img, nbrs, bo: BondOrder, amask, ffd: FFDev):
     def E(x):
         return x[:, None, :, :]
 
-    mask_jk = (maskp & (gid[:, None] < gid[oj]) & (bo_sg > esub)
-               & amask[:, None])
-    same_ik = (jnp.arange(kb)[:, None]
-               == jnp.arange(kb)[None, :])[None, :, :, None]
-    mask4 = (A(maskp & (bo_sg > esub)) & C(mask_jk)
-             & E(mask_le & (bokl_sg > esub))
-             & (bo_sg[:, :, None, None] * bo_sg[:, None, :, None] > esub)
-             & (bo_sg[:, None, :, None] * E(bokl_sg) > esub)
+    mask_jk = svalid & (gid[:, None] < gid[oj_s]) & amask[:, None]
+    same_ik = (jnp.arange(ks)[:, None]
+               == jnp.arange(ks)[None, :])[None, :, :, None]
+    key_j = (jnp.arange(n) * 729 + _shift_code(jnp.zeros(3)))[:, None, None]
+    mask4 = (A(svalid) & C(mask_jk) & E(svalid_l)
+             & (bo_s[:, :, None, None] * bo_s[:, None, :, None] > esub)
+             & (bo_s[:, None, :, None] * E(bo_kl) > esub)
              & ~same_ik
-             & (bo_sg[:, :, None, None] * bo_sg[:, None, :, None] ** 2
-                * E(bokl_sg) > units.MINBO0))
-    il_same = ((A(oj) == E(own_l))
-               & jnp.all(img.shift[idx][:, :, None, None, :]
-                         == shf_l[:, None, :, :, :], axis=-1))
-    jl_same = ((jnp.arange(n)[:, None, None, None] == E(own_l))
-               & jnp.all(shf_l == 0.0, axis=-1)[:, None, :, :])
-    mask4 = mask4 & ~il_same & ~jl_same
-    t4_full = ffd.inxn4[A(types[oj]), types[:, None, None, None],
-                        C(types[oj]), E(types[own_l])]
+             & (bo_s[:, :, None, None] * bo_s[:, None, :, None] ** 2
+                * E(bo_kl) > units.MINBO0)
+             & (A(key_ext[idx_s]) != E(key_l))          # i != l
+             & (key_j[:, None] != E(key_l)))            # j != l
+    t4_full = ffd.inxn4[A(types[oj_s]), types[:, None, None, None],
+                        C(types[oj_s]), E(types[img.owner[idx_le]])]
     mask4 = mask4 & (t4_full >= 0)
-    return mask4, t4_full
+    return mask4, sslot, svalid
 
 
 def e_4body(pos, H, types, img, nbrs, bo: BondOrder, amask, gid,
-            ffd: FFDev, cap: int = 48):
+            ffd: FFDev, cap: int = 48, ks: int = 12):
     """Torsion + 4-body conjugation (ref: pot.F90:1012-1219).
 
-    Enumeration: resident center j, bond slot c -> k (counted once via
-    gid(j) < gid(k)), slot a -> i in j's list, slot e -> l in owner(k)'s
-    list translated by k's image shift.  Valid (a,c,e) triples per center
-    are compacted into a per-atom list of capacity `cap`.
+    Enumeration: resident center j, strong bond c -> k (counted once via
+    gid(j) < gid(k)), strong slot a -> i in j's list, strong slot e -> l in
+    owner(k)'s list translated by k's image shift.  Valid (a,c,e) triples
+    per center are compacted into a per-atom list of capacity `cap`.
     """
     n, kb = nbrs.idxb.shape
+    ks = min(ks, kb)
     pose = ext_positions(pos, H, img)
     maskp = bo.mask
     idx = jnp.where(maskp, nbrs.idxb, 0)
@@ -587,17 +626,18 @@ def e_4body(pos, H, types, img, nbrs, bo: BondOrder, amask, gid,
     tj = types
     delta_ang = bo.delta + ffd.Val[tj] - ffd.Valangle[tj]
 
-    shift_k = img.shift[idx]                           # (n, kb, 3)
-    mask4, t4_full = _torsion_mask(types, gid, img, nbrs, bo, amask, ffd)
-    s, valid, _ = _row_topk_slots(mask4.reshape(n, kb * kb * kb), cap)
-    a = s // (kb * kb)
-    c = (s // kb) % kb
-    e = s % kb
+    mask4, sslot, svalid = _torsion_mask(types, gid, img, nbrs, bo, amask,
+                                         ffd, ks)
+    s, valid, _ = _row_topk_slots(mask4.reshape(n, ks * ks * ks), cap)
+
+    # map compact strong-slot triples back to original slot indices
+    row = jnp.arange(n)[:, None]
+    a = sslot[row, s // (ks * ks)]
+    c = sslot[row, (s // ks) % ks]
+    ok = oj[row, c]
+    e = sslot[ok, s % ks]
 
     # ---- per-entry gathers, all (n, cap)
-    row = jnp.arange(n)[:, None]
-    t4 = jnp.where(valid, t4_full[row, a, c, e], 0)
-    ok = oj[row, c]
     boij = bo0[row, a] - esub
     bojk = bo0[row, c] - esub
     bokl = bo0[ok, e] - esub
@@ -605,7 +645,10 @@ def e_4body(pos, H, types, img, nbrs, bo: BondOrder, amask, gid,
     idx_i = idx[row, a]
     idx_k = idx[row, c]
     idx_l = jnp.where(maskp, nbrs.idxb, 0)[ok, e]
-    shk = shift_k[row, c]                              # (n, cap, 3)
+    shk = img.shift[idx_k]                             # (n, cap, 3)
+    t4 = ffd.inxn4[types[img.owner[idx_i]], tj[:, None], types[ok],
+                   types[img.owner[idx_l]]]
+    t4 = jnp.where(valid & (t4 >= 0), t4, 0)
 
     pos_i = pose[idx_i]
     pos_k = pose[idx_k]
@@ -661,7 +704,7 @@ def e_4body(pos, H, types, img, nbrs, bo: BondOrder, amask, gid,
 
 
 def e_hbond(pos, H, types, img, nbrs, bo: BondOrder, amask, ffd: FFDev,
-            cap: int = 64):
+            cap: int = 64, kh: int = 6):
     """Hydrogen bond energy (ref: pot.F90:587-665).
 
     Donor heavy atom i (resident), central hydrogen j (bonded to i),
@@ -682,21 +725,29 @@ def e_hbond(pos, H, types, img, nbrs, bo: BondOrder, amask, ffd: FFDev,
     bo0_sg = jax.lax.stop_gradient(bo.bo[..., 0])
     mask_ij = (maskb & (tj == ffd.h_type) & (bo0_sg > units.MINBO0)
                & amask[:, None])
+    # compact the (few) bonded-hydrogen slots per donor first
+    kh = min(kh, kb)
+    hslot, hvalid, _ = _row_topk_slots(mask_ij, kh)
+    row = jnp.arange(n)[:, None]
+    idx_h = idxb[row, hslot]                           # (n, kh)
+    th = tj[row, hslot]
 
     tk = types[img.owner[idxnb]]                       # (n, knb)
     hb_full = ffd.inxn3hb[types[:, None, None],
-                          tj[:, :, None], tk[:, None, :]]  # (n, kb, knb)
+                          th[:, :, None], tk[:, None, :]]  # (n, kh, knb)
     rik = pos[:, None, :] - pose[idxnb]                # (n, knb, 3)
     rik2 = jax.lax.stop_gradient(jnp.sum(rik * rik, axis=-1))
-    mask = (mask_ij[:, :, None] & masknb[:, None, :] & (hb_full >= 0)
-            & (idxb[:, :, None] != idxnb[:, None, :])   # j != k
+    mask = (hvalid[:, :, None] & masknb[:, None, :] & (hb_full >= 0)
+            & (idx_h[:, :, None] != idxnb[:, None, :])  # j != k
             & (rik2 < units.RCHB2)[:, None, :])
 
-    s, valid, _ = _row_topk_slots(mask.reshape(n, kb * knb), cap)
-    b_slot, k_slot = s // knb, s % knb
+    s, valid, _ = _row_topk_slots(mask.reshape(n, kh * knb), cap)
+    b_slot = hslot[row, s // knb]
+    k_slot = s % knb
 
-    row = jnp.arange(n)[:, None]
-    hbt = jnp.where(valid, hb_full[row, b_slot, k_slot], 0)
+    hbt = ffd.inxn3hb[types[:, None], tj[row, b_slot],
+                      tk[row, k_slot]]
+    hbt = jnp.where(valid & (hbt >= 0), hbt, 0)
     idx_j = idxb[row, b_slot]
     idx_k = idxnb[row, k_slot]
     bo_ij = bo.bo[..., 0][row, b_slot]
@@ -752,15 +803,73 @@ def e_nonbond(pos, q, H, types, img, nbrs, gid, amask, ffd: FFDev):
     return evdw, eclmb, echarge
 
 
+def e_nonbond_pqeq(pos, spos, q, H, types, img, nbrs, gid, amask, ffd: FFDev,
+                   pq):
+    """van der Waals + 4-term core/shell Coulomb + charge/shell self-energy
+    (ref: ENbond_PQEq pot.F90:784-923)."""
+    from .pqeq import pqeq_kernels
+    pose = ext_positions(pos, H, img)
+    spose = spos[img.owner]
+    masknb = nbrs.masknb
+    idx = jnp.where(masknb, nbrs.idxnb, 0)
+    oj = img.owner[idx]
+    mask = masknb & (gid[oj] < gid[:, None]) & amask[:, None]
+
+    dr = pos[:, None, :] - pose[idx]
+    dr2 = jnp.sum(dr * dr, axis=-1)
+    mask = mask & (dr2 <= ffd.rctap2)
+    b = ffd.inxn2[types[:, None], types[oj]]
+    bc = jnp.where(b >= 0, b, 0)
+
+    pevdw = _table_lerp(ffd.tbl_evdw, bc, dr2, ffd.udr, ffd.udri, mask)
+    evdw = jnp.sum(jnp.where(mask, pevdw, 0.0))
+
+    ti = types[:, None]
+    tj = types[oj]
+    zi = pq.Z[types][:, None]
+    zj = pq.Z[tj]
+    qic = q[:, None] + zi
+    qjc = jnp.where(mask, q[oj], 0.0) + zj
+    polar_i = pq.is_polar[types][:, None]
+    polar_j = pq.is_polar[tj]
+    C0 = units.CCLMB0
+
+    ecc = C0 * pqeq_kernels(pq, pq.pcc, ti, tj, dr, mask) * qic * qjc
+    drsc = dr + spos[:, None, :]
+    esc = jnp.where(mask & polar_i,
+                    -C0 * pqeq_kernels(pq, pq.psc, ti, tj, drsc, mask)
+                    * zi * qjc, 0.0)
+    drcs = dr - spose[idx]
+    ecs = jnp.where(mask & polar_j,
+                    -C0 * pqeq_kernels(pq, pq.psc, tj, ti, drcs, mask)
+                    * qic * zj, 0.0)
+    drss = drsc - spose[idx]
+    ess = jnp.where(mask & polar_i & polar_j,
+                    C0 * pqeq_kernels(pq, pq.pss, ti, tj, drss, mask)
+                    * zi * zj, 0.0)
+    eclmb = jnp.sum(jnp.where(mask, ecc + esc + ecs + ess, 0.0))
+
+    # self-energy + shell spring (ref: pot.F90:819-825)
+    eshell = jnp.where(pq.is_polar[types],
+                      0.5 * pq.Ks[types] * jnp.sum(spos * spos, axis=-1),
+                      0.0)
+    echarge = jnp.sum(jnp.where(
+        amask,
+        units.CECHRGE * (ffd.chi[types] * q + 0.5 * ffd.eta[types] * q * q)
+        + eshell, 0.0))
+    return evdw, eclmb, echarge
+
+
 # ----------------------------------------------------------------------------
 # assembly
 # ----------------------------------------------------------------------------
 
-DEFAULT_CAPS = {"ang": 16, "tor": 48, "hb": 64}
+DEFAULT_CAPS = {"ang": 16, "tor": 48, "hb": 64, "ks": 12, "kh": 6}
 
 
 def energy_components(pos, q, H, types, gid, img: ImageTable,
-                      nbrs: Neighbors, ffd: FFDev, amask=None, caps=None):
+                      nbrs: Neighbors, ffd: FFDev, amask=None, caps=None,
+                      pq=None, spos=None):
     """All potential-energy components as a (14,) vector using the
     reference's PE slot convention (ref: module.F90:143-146):
       0=total 1=Ebond 2=Elp 3=Eover 4=Eunder 5=Eval 6=Epen 7=Ecoa
@@ -776,12 +885,17 @@ def energy_components(pos, q, H, types, gid, img: ImageTable,
     ebond = e_bond(types, img, nbrs, bo, gid, amask, ffd)
     elp, eover, eunder = e_lnpr(types, img, nbrs, bo, lp, amask, ffd)
     eval_, epen, ecoa = e_3body(pos, H, types, img, nbrs, bo, lp, amask, ffd,
-                                cap=caps["ang"])
+                                cap=caps["ang"], ks=caps["ks"])
     etors, econj = e_4body(pos, H, types, img, nbrs, bo, amask, gid, ffd,
-                           cap=caps["tor"])
-    ehb = e_hbond(pos, H, types, img, nbrs, bo, amask, ffd, cap=caps["hb"])
-    evdw, eclmb, echarge = e_nonbond(pos, q, H, types, img, nbrs, gid, amask,
-                                     ffd)
+                           cap=caps["tor"], ks=caps["ks"])
+    ehb = e_hbond(pos, H, types, img, nbrs, bo, amask, ffd, cap=caps["hb"],
+                  kh=caps["kh"])
+    if pq is not None:
+        evdw, eclmb, echarge = e_nonbond_pqeq(pos, spos, q, H, types, img,
+                                              nbrs, gid, amask, ffd, pq)
+    else:
+        evdw, eclmb, echarge = e_nonbond(pos, q, H, types, img, nbrs, gid,
+                                         amask, ffd)
 
     comps = jnp.stack([
         jnp.zeros_like(ebond), ebond, elp, eover, eunder, eval_, epen, ecoa,
@@ -791,19 +905,19 @@ def energy_components(pos, q, H, types, gid, img: ImageTable,
 
 
 def total_energy(pos, q, H, types, gid, img, nbrs, ffd, amask=None,
-                 caps=None):
+                 caps=None, pq=None, spos=None):
     return energy_components(pos, q, H, types, gid, img, nbrs, ffd, amask,
-                             caps)[0]
+                             caps, pq, spos)[0]
 
 
 def energy_and_forces(pos, q, H, types, gid, img, nbrs, ffd, amask=None,
-                      caps=None):
+                      caps=None, pq=None, spos=None):
     """(PE components, forces).  Forces are exact -dE/dpos; the ghost-force
     reduction (reference MODE_CPBK, comm.F90:74-78) happens automatically in
     the backward pass of the ghost-position gather."""
     def etot(p):
         c = energy_components(p, q, H, types, gid, img, nbrs, ffd, amask,
-                              caps)
+                              caps, pq, spos)
         return c[0], c
     (_, comps), grad = jax.value_and_grad(etot, has_aux=True)(pos)
     return comps, -grad
@@ -828,13 +942,14 @@ def term_counts(pos, H, types, gid, img, nbrs, ffd, amask=None):
     ang = int(pm.sum(axis=(1, 2)).max())
     deg = okb.sum(axis=1)
     degmax = int(deg.max())
-    mask4, _ = _torsion_mask(types, gid, img, nbrs, bo, amask, ffd)
+    mask4, _, _ = _torsion_mask(types, gid, img, nbrs, bo, amask, ffd, ks=kb)
     tor = int(mask4.sum(axis=(1, 2, 3)).max())
     # hbond: H-neighbors of i times worst-case acceptors is loose; count
     # H-bonded slots and scale by a modest acceptor estimate
     idx = jnp.where(bo.mask, nbrs.idxb, 0)
     is_h = (types[img.owner[idx]] == ffd.h_type) & bo.mask \
         & (bo0 > units.MINBO0)
+    h_slots = int(is_h.sum(axis=1).max())
     # exact hbond pair count per donor row
     hb = 0
     if ffd.r0hb.shape[0] > 0:
@@ -850,4 +965,5 @@ def term_counts(pos, H, types, gid, img, nbrs, ffd, amask=None):
              & (idx[:, :, None] != idxnb[:, None, :])
              & (rik2 < units.RCHB2)[:, None, :])
         hb = int(m.sum(axis=(1, 2)).max())
-    return {"ang": ang, "tor": tor, "hb": hb, "degmax": degmax}
+    return {"ang": ang, "tor": tor, "hb": hb, "degmax": degmax,
+            "h_slots": h_slots}

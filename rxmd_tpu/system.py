@@ -44,6 +44,8 @@ class State:
     gid: jax.Array        # (N,) int32 global atom id
     H: jax.Array          # (3, 3) box matrix, columns = lattice vectors
     step: jax.Array       # () int32 current MD step
+    spos: jax.Array       # (N, 3) PQEq shell displacement from core
+                          # (ref: module.F90:286; zeros unless PQEq)
 
     @property
     def n(self):
@@ -53,11 +55,12 @@ class State:
         cast = lambda a: a.astype(dtype)
         return dataclasses.replace(
             self, pos=cast(self.pos), vel=cast(self.vel), q=cast(self.q),
-            qsfp=cast(self.qsfp), qsfv=cast(self.qsfv), H=cast(self.H))
+            qsfp=cast(self.qsfp), qsfv=cast(self.qsfv), H=cast(self.H),
+            spos=cast(self.spos))
 
 
 def make_state(pos, types, H, vel=None, q=None, qsfp=None, qsfv=None,
-               gid=None, step=0, dtype=jnp.float64):
+               gid=None, step=0, spos=None, dtype=jnp.float64):
     pos = jnp.asarray(pos, dtype)
     n = pos.shape[0]
     z = jnp.zeros((n,), dtype)
@@ -73,6 +76,7 @@ def make_state(pos, types, H, vel=None, q=None, qsfp=None, qsfv=None,
              else jnp.asarray(gid, jnp.int32)),
         H=jnp.asarray(H, dtype),
         step=jnp.asarray(step, jnp.int32),
+        spos=z3 if spos is None else jnp.asarray(spos, dtype),
     )
 
 
