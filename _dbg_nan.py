@@ -2,7 +2,7 @@ import numpy as np, jax, jax.numpy as jnp
 from rxmd_tpu import ffield, system, md
 from rxmd_tpu.config import RunConfig
 ff = ffield.parse_ffield("/root/reference/ffield")
-st = system.from_cellfile("/root/reference/conf/init.rdx/input.xyz", ff.name_to_type, mc=(3,3,3), dtype=jnp.float32)
+st = system.from_cellfile("/root/reference/conf/init.rdx/input.xyz", ff.name_to_type, mc=(2,2,2), dtype=jnp.float32)
 cfg = RunConfig(mdmode=1, dt_fs=0.25, isQEq=2, dtype="float32")
 eng = md.Engine(ff, st, cfg, dtype=jnp.float32)
 eng.prepare()
@@ -16,6 +16,6 @@ def chk(tag):
           "max|qsfp| %.3f"%float(jnp.abs(s.qsfp).max()),
           "maxT %.1f"%(float((eng.hmas[s.types]*(s.vel**2).sum(1)).max())*335.6), flush=True)
 chk("prep")
-for k in range(8):
+for k in range(12):
     eng.run(1, log=None)
     chk("step%d"%(k+1))

@@ -1,0 +1,86 @@
+"""Thermostats, extended-Lagrangian QEq, optimizer, trajectory output."""
+import numpy as np
+import pytest
+
+from rxmd_tpu import ffield, system, md
+from rxmd_tpu.config import RunConfig
+
+FF = "/root/reference/ffield"
+CELL = "/root/reference/conf/init.rdx/input.xyz"
+
+
+def _engine(**kw):
+    ff = ffield.parse_ffield(FF)
+    st = system.from_cellfile(CELL, ff.name_to_type)
+    cfg = RunConfig(dt_fs=0.25, pstep=1000, **kw)
+    return ff, st, md.Engine(ff, st, cfg)
+
+
+@pytest.mark.slow
+def test_berendsen_like_scaling_mdmode4():
+    """mdmode=4 velocity scaling by vsfact each sstep (ref: main.F90:45-46)."""
+    ff, st, eng = _engine(mdmode=4, vsfact=0.5, sstep=1, ntime_step=5,
+                          isQEq=2)
+    eng.prepare()
+    eng.run(5, log=None)
+    # with aggressive scaling the temperature stays near zero
+    ke = float((eng.hmas[eng.state.types]
+                * (eng.state.vel ** 2).sum(1)).sum()) / st.n
+    assert ke < 1e-3
+
+
+@pytest.mark.slow
+def test_extended_lagrangian_tracks_cg():
+    """isQEq=2 charges stay close to the fully converged CG charges."""
+    import jax.numpy as jnp
+    from rxmd_tpu import neighbors, qeq, reax, units
+    ff, st, eng = _engine(mdmode=1, isQEq=2, ntime_step=5, sstep=1000)
+    eng.prepare()
+    eng.run(5, log=None)
+    s = eng.state
+    nbrs = eng._build_nbrs(s.pos, s.H, s.types)
+    res = qeq.solve(s.pos, s.q, s.qsfp, s.H, s.types, eng.img, nbrs,
+                    eng.ffd, tol=1e-8, nmax=500)
+    dq = np.abs(np.asarray(res.q) - np.asarray(s.q)).max()
+    assert dq < 5e-3
+
+
+@pytest.mark.slow
+def test_cg_optimizer_reduces_energy():
+    from rxmd_tpu import opt
+    ff, st, eng = _engine(mdmode=10, isQEq=1, ntime_step=1, sstep=1000)
+    # perturb positions so there is something to minimize
+    import jax.numpy as jnp
+    rng = np.random.default_rng(3)
+    import dataclasses
+    eng.state = dataclasses.replace(
+        eng.state, pos=eng.state.pos + jnp.asarray(
+            rng.normal(scale=0.03, size=(st.n, 3))))
+    e0 = None
+
+    logs = []
+    pe = opt.conjugate_gradient(eng, max_iter=3, ftol=1e-9,
+                                log=logs.append)
+    first = float(logs[0].split("PE0=")[1])
+    assert pe < first
+
+
+@pytest.mark.slow
+def test_write_frame_formats(tmp_path):
+    ff, st, eng = _engine(mdmode=1, isQEq=1, ntime_step=1, sstep=1000)
+    eng.cfg.is_xyz = eng.cfg.is_pdb = eng.cfg.is_bondfile = True
+    eng.cfg.is_binary = True
+    eng.prepare()
+    base = str(tmp_path / "frame")
+    eng.write_frame(base)
+    from rxmd_tpu.io import traj, refbin
+    frames = list(traj.read_xyz_frames(base + ".xyz", ff.name_to_type))
+    assert frames[0]["pos"].shape == (168, 3)
+    st2, _ = refbin.read_rxff_bin(base + ".bin")
+    assert st2.n == 168
+    # bnd: every RDX atom has >=1 strong bond; C has up to 4
+    from rxmd_tpu.tools.bondlifetime import read_bnd
+    rows = read_bnd(base + ".bnd")
+    assert len(rows) == 168
+    counts = [len(b) for _, _, b in rows]
+    assert max(counts) >= 3 and min(counts) >= 1
