@@ -32,13 +32,21 @@ def main():
     # reference's own scaling deck uses (conf/bg-bench/rxmd.in isQEq=2)
     cfg = RunConfig(mdmode=1, dt_fs=0.25, ntime_step=nsteps, pstep=1000,
                     sstep=10000, isQEq=2, QEq_tol=1e-7, dtype="float32")
+    def note(msg, t0=[time.time()]):
+        print(f"[bench +{time.time() - t0[0]:.0f}s] {msg}", file=sys.stderr,
+              flush=True)
+
+    note(f"engine init (N={st.n})")
     eng = md.Engine(ff, st, cfg, dtype=dtype)
+    note("prepare (compile)")
     eng.prepare()
-    # warmup (compile)
+    note("warmup steps (compile)")
     eng.run(2, log=None)
+    note("timed run")
     t0 = time.time()
     eng.run(nsteps, log=None)
     wall = time.time() - t0
+    note(f"done: {wall:.2f}s for {nsteps} steps")
     atom_steps = st.n * nsteps / wall
 
     baseline = 5.6e3  # reference atom-steps/s (BASELINE.md, README.md:164)

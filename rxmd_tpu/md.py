@@ -40,7 +40,13 @@ def probe_capacities(ff: ForceField, state: State, ffd, rctap, dtype,
     rc2b_p = jnp.asarray((_np.sqrt(rc2b_p) + skin) ** 2 * (rc2b_p > 0),
                          dtype)
     rctap2_p = jnp.asarray((rctap + skin) ** 2, dtype)
-    with _jax.default_device(_jax.devices("cpu")[0]):
+    cpu = _jax.devices("cpu")[0]
+    with _jax.default_device(cpu):
+        # operands must live on CPU or the ops follow them to the TPU
+        state = _jax.device_put(state, cpu)
+        ffd = _jax.device_put(ffd, cpu)
+        rc2b_p = _jax.device_put(rc2b_p, cpu)
+        rctap2_p = _jax.device_put(rctap2_p, cpu)
         img = neighbors.make_image_table(state.n, nimg, dtype)
         from .ffield import effective_maxrc
         maxrc = effective_maxrc(ff, _np.asarray(state.types))
@@ -68,13 +74,21 @@ def probe_capacities(ff: ForceField, state: State, ffd, rctap, dtype,
         mb, mnb = neighbors.check_overflow(probe)
         kb = _round_up(int(mb * 1.5) + 2, 4)
         knb = min(_round_up(int(mnb * 1.3) + 8, 64), 4096)
+        nbrs_skinned = build(kb, knb)
+        # tight (no-skin) occupancies for the per-step compacted lists
+        tight = neighbors.tighten(state.pos, state.H, state.types, img,
+                                  nbrs_skinned, ffd.rc2b, ffd.rctap2,
+                                  kb, knb)
+        kb_t = _round_up(int(tight.cntb.max() * 1.3) + 2, 4)
+        knb_t = min(_round_up(int(tight.cntnb.max() * 1.2) + 8, 64), 4096)
         tc = reax.term_counts(state.pos, state.H, state.types, state.gid,
-                              img, build(kb, knb), ffd)
+                              img, nbrs_skinned, ffd)
     caps = {"ang": _round_up(int(tc["ang"] * 1.4) + 2, 4),
             "tor": _round_up(int(tc["tor"] * 1.4) + 4, 8),
             "hb": max(_round_up(int(tc["hb"] * 1.4) + 2, 4), 4),
             "ks": _round_up(tc["degmax"] + 2, 2),
-            "kh": max(_round_up(tc.get("h_slots", 4) + 1, 2), 2)}
+            "kh": max(_round_up(tc.get("h_slots", 4) + 1, 2), 2),
+            "kb_t": kb_t, "knb_t": knb_t}
     return kb, knb, caps
 
 
@@ -86,6 +100,8 @@ class Engine:
                  dtype=None):
         self.ff = ff
         self.cfg = cfg
+        if cfg.mdmode == 0:
+            cfg.isQEq = 1      # ref: init.F90:56-63
         self.dtype = dtype or jnp.dtype(cfg.dtype)
         rctap = units.RCTAP0_PQEQ if cfg.isPQEq else units.RCTAP0
         self.rctap = rctap
@@ -142,11 +158,26 @@ class Engine:
         self.kb = cfg.kb_cap or kb
         self.knb = cfg.knb_cap or knb
 
+        # spring restraints toward the initial configuration
+        # (ref: SpringForce pot.F90:95-110, ipos init.F90:231-232)
+        self.ipos = self.state.pos if cfg.spring_const else None
+        self._spring_mask = (
+            jnp.isin(self.state.types,
+                     jnp.asarray(list(cfg.spring_types), jnp.int32))
+            if cfg.spring_const and cfg.spring_types
+            else jnp.ones((state.n,), bool))
+
         self._step = jax.jit(self._make_step())
         self._prepare = jax.jit(self._make_prepare())
         self._rebuild = jax.jit(self._make_rebuild())
 
     # ------------------------------------------------------------------
+    def _tight_nbrs(self, pos, H, types, nbrs):
+        """Per-step compaction of the skinned lists to the true cutoffs."""
+        return neighbors.tighten(pos, H, types, self.img, nbrs,
+                                 self.ffd.rc2b, self.ffd.rctap2,
+                                 self.caps["kb_t"], self.caps["knb_t"])
+
     def _build_nbrs(self, pos, H, types):
         """Neighbor lists with the Verlet-skin-extended cutoffs."""
         if self.grid is not None:
@@ -201,6 +232,11 @@ class Engine:
                 qc = q + self.pq.Z[types]   # ref: EEfield module.F90:374-378
             fe = -qc * self.cfg.eFieldStrength * units.EEV_KCAL
             f = f.at[:, self.cfg.eFieldDir].add(fe)
+        if self.cfg.spring_const:
+            # harmonic restraint toward the initial positions
+            # (ref: SpringForce pot.F90:95-110)
+            fs = -self.cfg.spring_const * (pos - self.ipos)
+            f = f + jnp.where(self._spring_mask[:, None], fs, 0.0)
         return comps, f
 
     def _thermostat(self, s: State, do_scale):
@@ -258,6 +294,7 @@ class Engine:
     def _make_prepare(self):
         """Initial QEq + FORCE before the main loop (ref: main.F90:27-32)."""
         def prepare(s: State, nbrs):
+            nbrs = self._tight_nbrs(s.pos, s.H, s.types, nbrs)
             # cold-start extended Lagrangian: one full CG solve to seed the
             # fictitious charge DOF (production restarts load qsfp from the
             # checkpoint instead, ref: fileio.F90:534-535)
@@ -289,6 +326,7 @@ class Engine:
             # drift (ref: main.F90:72); wrapping happens at list rebuilds
             pos = s.pos + dt * v
 
+            nbrs = self._tight_nbrs(pos, s.H, s.types, nbrs)
             do_qeq = (s.step % cfg.qstep) == 0
             q, qsfp, qsfv, nq, spos = jax.lax.cond(
                 do_qeq,
@@ -368,15 +406,34 @@ class Engine:
                 f"{pe[8:10].sum(): .3E} {pe[10]: .3E} {pe[11:14].sum(): .3E} "
                 f"{tt:8.2f} {qq:8.2f} {int(self.nqeq):4d}")
 
+    def init_velocity(self, seed=0):
+        """Gaussian velocities scaled to treq with zero net momentum
+        (ref: INITVELOCITY init.F90:292-360)."""
+        s = self.state
+        rng = np.random.default_rng(seed)
+        v = rng.normal(size=(s.n, 3))
+        m = np.asarray(2.0 * self.hmas)[np.asarray(s.types)]
+        v -= (m[:, None] * v).sum(0) / m.sum()
+        ke = 0.5 * (m * (v * v).sum(1)).sum() / s.n
+        v *= np.sqrt(1.5 * self.treq_red / ke)
+        self.state = dataclasses.replace(
+            self.state, vel=jnp.asarray(v, self.dtype))
+
     def run(self, nsteps=None, log=print, writer=None):
         """Host driver loop (ref: main.F90:37-103)."""
         cfg = self.cfg
         nsteps = nsteps if nsteps is not None else cfg.ntime_step
         if not hasattr(self, "force"):
+            if cfg.mdmode in (0, 6):
+                self.init_velocity()
             self.prepare()
         t0 = time.time()
         for k in range(nsteps):
-            if int(self.state.step) % cfg.pstep == 0 and log:
+            stepno = int(self.state.step)
+            if cfg.mdmode in (0, 6) and stepno % cfg.sstep == 0 and k > 0:
+                # periodic Maxwell-Boltzmann redraw (ref: main.F90:53-54)
+                self.init_velocity(seed=stepno)
+            if stepno % cfg.pstep == 0 and log:
                 log(self.printe_line())
             if writer is not None and int(self.state.step) % cfg.fstep == 0:
                 writer(self.state, self.comps)

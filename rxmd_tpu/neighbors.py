@@ -243,6 +243,34 @@ def build_neighbors_cells(pos, valid, types, grid: CellGrid, rc2_by_type,
     return Neighbors(idxb=idxb, cntb=cntb, idxnb=idxnb, cntnb=cntnb), overflow
 
 
+@functools.partial(jax.jit, static_argnames=("kb", "knb"))
+def tighten(pos, H, types, img: ImageTable, nbrs: Neighbors, rc2_by_type,
+            rctap2, kb: int, knb: int) -> Neighbors:
+    """Filter Verlet-skinned lists down to the true cutoffs and compact to
+    smaller capacities — run once per step so the energy kernels work at
+    actual occupancy instead of the skinned capacity."""
+    pose = ext_positions(pos, H, img)
+
+    def shrink(idx_full, cap, rc2_fn):
+        mask = idx_full >= 0
+        idx = jnp.where(mask, idx_full, 0)
+        d = pos[:, None, :] - pose[idx]
+        dr2 = jnp.sum(d * d, axis=-1)
+        keep = mask & rc2_fn(dr2, idx)
+        slot = _select_k(keep, cap)
+        out = jnp.where(slot >= 0,
+                        jnp.take_along_axis(idx, jnp.maximum(slot, 0),
+                                            axis=1), -1)
+        return out.astype(jnp.int32), keep.sum(axis=1, dtype=jnp.int32)
+
+    tj = types[img.owner]
+    idxb, cntb = shrink(
+        nbrs.idxb, kb,
+        lambda dr2, ix: dr2 < rc2_by_type[types[:, None], tj[ix]])
+    idxnb, cntnb = shrink(nbrs.idxnb, knb, lambda dr2, ix: dr2 <= rctap2)
+    return Neighbors(idxb=idxb, cntb=cntb, idxnb=idxnb, cntnb=cntnb)
+
+
 def check_overflow(nbrs: Neighbors):
     """Host-side overflow check; returns (max_bonded, max_nonbonded).
 

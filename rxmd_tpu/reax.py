@@ -114,6 +114,8 @@ class FFDev(NamedTuple):
     # nonbonded tables, (nboty, NTABLE+1)
     tbl_evdw: jax.Array
     tbl_eclmb: jax.Array
+    tbl_devdw: jax.Array      # (dE/dr)/r columns (ref: TBL_*(1,..))
+    tbl_declmb: jax.Array
     tbl_eclmb_qeq: jax.Array
     udr: jax.Array
     udri: jax.Array
@@ -168,6 +170,7 @@ def ffdev_from(ff: ForceField, dtype=jnp.float64, rctap: float = None,
         inxn3hb=i32(ff.inxn3hb), r0hb=f(ff.r0hb), phb1=f(ff.phb1),
         phb2=f(ff.phb2), phb3=f(ff.phb3), h_type=h_type,
         tbl_evdw=f(tables["evdw"]), tbl_eclmb=f(tables["eclmb"]),
+        tbl_devdw=f(tables["devdw"]), tbl_declmb=f(tables["declmb"]),
         tbl_eclmb_qeq=f(tables["eclmb_qeq"]),
         udr=f(tables["udr"]), udri=f(tables["udri"]),
         rctap2=f(tables["rctap2"]),
@@ -803,6 +806,48 @@ def e_nonbond(pos, q, H, types, img, nbrs, gid, amask, ffd: FFDev):
     return evdw, eclmb, echarge
 
 
+def nonbond_energy_forces(pos, q, H, types, img, nbrs, gid, amask,
+                          ffd: FFDev):
+    """van der Waals + Coulomb energies AND explicit forces from the
+    derivative tables (ref: pot.F90:736-761, TBL_*( 1,...) columns).
+
+    Enumerates every *directed* pair once and accumulates the force on the
+    row atom only — no scatter in the backward pass, the reaction force
+    arrives via the mirrored entry.  Energies carry a 0.5 factor;
+    self-image pairs are excluded entirely, matching the reference's strict
+    jid<iid rule (pot.F90:715).
+    """
+    pose = ext_positions(pos, H, img)
+    masknb = nbrs.masknb
+    idx = jnp.where(masknb, nbrs.idxnb, 0)
+    oj = img.owner[idx]
+    mask = masknb & (gid[oj] != gid[:, None]) & amask[:, None]
+
+    dr = pos[:, None, :] - pose[idx]
+    dr2 = jnp.sum(dr * dr, axis=-1)
+    mask = mask & (dr2 <= ffd.rctap2)
+    b = ffd.inxn2[types[:, None], types[oj]]
+    bc = jnp.where(b >= 0, b, 0)
+
+    qq = q[:, None] * jnp.where(mask, q[oj], 0.0)
+    pevdw = _table_lerp(ffd.tbl_evdw, bc, dr2, ffd.udr, ffd.udri, mask)
+    peclmb = _table_lerp(ffd.tbl_eclmb, bc, dr2, ffd.udr, ffd.udri, mask) * qq
+    cevdw = _table_lerp(ffd.tbl_devdw, bc, dr2, ffd.udr, ffd.udri, mask)
+    ceclmb = _table_lerp(ffd.tbl_declmb, bc, dr2, ffd.udr, ffd.udri, mask) * qq
+
+    w = mask
+    evdw = 0.5 * jnp.sum(jnp.where(w, pevdw, 0.0))
+    eclmb = 0.5 * jnp.sum(jnp.where(w, peclmb, 0.0))
+    ff = jnp.where(w, cevdw + ceclmb, 0.0)[..., None] * dr
+    f = -jnp.sum(ff, axis=1)
+
+    echarge = jnp.sum(jnp.where(
+        amask,
+        units.CECHRGE * (ffd.chi[types] * q + 0.5 * ffd.eta[types] * q * q),
+        0.0))
+    return evdw, eclmb, echarge, f
+
+
 def e_nonbond_pqeq(pos, spos, q, H, types, img, nbrs, gid, amask, ffd: FFDev,
                    pq):
     """van der Waals + 4-term core/shell Coulomb + charge/shell self-energy
@@ -869,7 +914,7 @@ DEFAULT_CAPS = {"ang": 16, "tor": 48, "hb": 64, "ks": 12, "kh": 6}
 
 def energy_components(pos, q, H, types, gid, img: ImageTable,
                       nbrs: Neighbors, ffd: FFDev, amask=None, caps=None,
-                      pq=None, spos=None):
+                      pq=None, spos=None, include_nonbond=True):
     """All potential-energy components as a (14,) vector using the
     reference's PE slot convention (ref: module.F90:143-146):
       0=total 1=Ebond 2=Elp 3=Eover 4=Eunder 5=Eval 6=Epen 7=Ecoa
@@ -890,7 +935,10 @@ def energy_components(pos, q, H, types, gid, img: ImageTable,
                            cap=caps["tor"], ks=caps["ks"])
     ehb = e_hbond(pos, H, types, img, nbrs, bo, amask, ffd, cap=caps["hb"],
                   kh=caps["kh"])
-    if pq is not None:
+    if not include_nonbond:
+        z = jnp.zeros_like(ebond)
+        evdw = eclmb = echarge = z
+    elif pq is not None:
         evdw, eclmb, echarge = e_nonbond_pqeq(pos, spos, q, H, types, img,
                                               nbrs, gid, amask, ffd, pq)
     else:
@@ -911,16 +959,32 @@ def total_energy(pos, q, H, types, gid, img, nbrs, ffd, amask=None,
 
 
 def energy_and_forces(pos, q, H, types, gid, img, nbrs, ffd, amask=None,
-                      caps=None, pq=None, spos=None):
-    """(PE components, forces).  Forces are exact -dE/dpos; the ghost-force
-    reduction (reference MODE_CPBK, comm.F90:74-78) happens automatically in
-    the backward pass of the ghost-position gather."""
+                      caps=None, pq=None, spos=None, fast_nonbond=True):
+    """(PE components, forces).
+
+    Bonded forces are exact -dE/dpos via autodiff; the ghost-force reduction
+    (reference MODE_CPBK, comm.F90:74-78) happens automatically in the
+    backward pass of the ghost-position gather.  With `fast_nonbond` (QEq
+    path only) the nonbonded term uses the tabulated derivative columns with
+    row-only force accumulation — exactly the reference's force expression
+    (pot.F90:736-761) and roughly half the gather/scatter traffic."""
+    use_fast = fast_nonbond and pq is None
+
     def etot(p):
         c = energy_components(p, q, H, types, gid, img, nbrs, ffd, amask,
-                              caps, pq, spos)
+                              caps, pq, spos, include_nonbond=not use_fast)
         return c[0], c
     (_, comps), grad = jax.value_and_grad(etot, has_aux=True)(pos)
-    return comps, -grad
+    f = -grad
+    if use_fast:
+        evdw, eclmb, echarge, f_nb = nonbond_energy_forces(
+            pos, q, H, types, img, nbrs, gid,
+            amask if amask is not None else jnp.ones(pos.shape[0], bool),
+            ffd)
+        comps = comps.at[11].set(evdw).at[12].set(eclmb).at[13].set(echarge)
+        comps = comps.at[0].set(jnp.sum(comps[1:]))
+        f = f + f_nb
+    return comps, f
 
 
 def term_counts(pos, H, types, gid, img, nbrs, ffd, amask=None):
@@ -942,7 +1006,10 @@ def term_counts(pos, H, types, gid, img, nbrs, ffd, amask=None):
     ang = int(pm.sum(axis=(1, 2)).max())
     deg = okb.sum(axis=1)
     degmax = int(deg.max())
-    mask4, _, _ = _torsion_mask(types, gid, img, nbrs, bo, amask, ffd, ks=kb)
+    # probe the torsion occupancy on the strong-bond sublist only (kb can be
+    # much larger than the real bond degree when lists carry a Verlet skin)
+    mask4, _, _ = _torsion_mask(types, gid, img, nbrs, bo, amask, ffd,
+                                ks=min(degmax + 2, kb))
     tor = int(mask4.sum(axis=(1, 2, 3)).max())
     # hbond: H-neighbors of i times worst-case acceptors is loose; count
     # H-bonded slots and scale by a modest acceptor estimate
@@ -950,19 +1017,23 @@ def term_counts(pos, H, types, gid, img, nbrs, ffd, amask=None):
     is_h = (types[img.owner[idx]] == ffd.h_type) & bo.mask \
         & (bo0 > units.MINBO0)
     h_slots = int(is_h.sum(axis=1).max())
-    # exact hbond pair count per donor row
+    # exact hbond pair count per donor row, over the compacted H slots
     hb = 0
-    if ffd.r0hb.shape[0] > 0:
+    if ffd.r0hb.shape[0] > 0 and h_slots > 0:
+        kh = min(h_slots, kb)
+        hslot, hvalid, _ = _row_topk_slots(is_h, kh)
+        row = jnp.arange(n)[:, None]
+        idx_h = idx[row, hslot]
+        th = types[img.owner[idx_h]]
         pose = ext_positions(pos, H, img)
         idxnb = jnp.where(nbrs.masknb, nbrs.idxnb, 0)
         tnb = types[img.owner[idxnb]]
-        tj = types[img.owner[idx]]
-        hbty = ffd.inxn3hb[types[:, None, None], tj[:, :, None],
+        hbty = ffd.inxn3hb[types[:, None, None], th[:, :, None],
                            tnb[:, None, :]]
         rik = pos[:, None, :] - pose[idxnb]
         rik2 = jnp.sum(rik * rik, axis=-1)
-        m = (is_h[:, :, None] & nbrs.masknb[:, None, :] & (hbty >= 0)
-             & (idx[:, :, None] != idxnb[:, None, :])
+        m = (hvalid[:, :, None] & nbrs.masknb[:, None, :] & (hbty >= 0)
+             & (idx_h[:, :, None] != idxnb[:, None, :])
              & (rik2 < units.RCHB2)[:, None, :])
         hb = int(m.sum(axis=(1, 2)).max())
     return {"ang": ang, "tor": tor, "hb": hb, "degmax": degmax,
