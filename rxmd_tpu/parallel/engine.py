@@ -294,13 +294,24 @@ class ShardedEngine:
             pr = (fx - mylo[None, :]) @ self.Hg.T
             comps = reax.energy_components(
                 pr, q_ext_new, self.Hg, types_ext, gid_ext, img, nbrs,
-                self.ffd, amask=amask, caps=self.caps)
+                self.ffd, amask=amask, caps=self.caps,
+                include_nonbond=False)
             comps = self._psum(comps)
             return comps[0], comps
 
         (_, comps), g = jax.value_and_grad(etot, has_aux=True)(s.frac)
         # d E/d pos = Hi^T dE/dfrac  (pos = frac @ H^T)
         f = -(g @ self.Hi)
+        # nonbonded term: directed-pair enumeration gives complete row-local
+        # forces on residents — no ghost-force copy-back needed at all
+        evdw, eclmb, echarge, f_nb = reax.nonbond_energy_forces(
+            pos_rel, q_ext_new, self.Hg, types_ext, img, nbrs, gid_ext,
+            amask, self.ffd)
+        comps = (comps.at[11].set(self._psum(evdw))
+                 .at[12].set(self._psum(eclmb))
+                 .at[13].set(self._psum(echarge)))
+        comps = comps.at[0].set(jnp.sum(comps[1:]))
+        f = f + f_nb[:ncap]
         f = jnp.where(s.valid[:, None], f, 0.0)
         return q_new, qsfp, qsfv, f, comps, nq
 
