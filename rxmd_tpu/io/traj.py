@@ -8,9 +8,30 @@ on a single host).
 """
 from __future__ import annotations
 
+import ctypes
+import os
+
 import numpy as np
 
 from ..system import State
+
+_NATIVE = None
+
+
+def _native():
+    """Load the optional C++ formatting library (native/libtrajio.so)."""
+    global _NATIVE
+    if _NATIVE is None:
+        path = os.path.join(os.path.dirname(__file__), "..", "..", "native",
+                            "libtrajio.so")
+        try:
+            lib = ctypes.CDLL(os.path.abspath(path))
+            lib.trajio_write_xyz.restype = ctypes.c_int
+            lib.trajio_write_bnd.restype = ctypes.c_int
+            _NATIVE = lib
+        except OSError:
+            _NATIVE = False
+    return _NATIVE
 
 
 def cell_params(H):
@@ -28,10 +49,24 @@ def write_xyz(path: str, state: State, atom_names, append=False):
     """Reference .xyz format (ref: fileio.F90:241-339): natoms / cell line /
     'name x y z q gid' rows."""
     la, lb, lc, al, be, ga = cell_params(state.H)
-    pos = np.asarray(state.pos)
-    q = np.asarray(state.q)
-    types = np.asarray(state.types)
-    gid = np.asarray(state.gid)
+    pos = np.ascontiguousarray(np.asarray(state.pos), np.float64)
+    q = np.ascontiguousarray(np.asarray(state.q), np.float64)
+    types = np.ascontiguousarray(np.asarray(state.types), np.int32)
+    gid = np.ascontiguousarray(np.asarray(state.gid), np.int32)
+    lib = _native()
+    if lib:
+        names = np.zeros((len(atom_names), 3), np.int8)
+        for i, s in enumerate(atom_names):
+            b = s.encode()[:3].ljust(3)
+            names[i] = np.frombuffer(b, np.int8)
+        cell = np.array([la, lb, lc, al, be, ga], np.float64)
+        c_p = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+        rc = lib.trajio_write_xyz(
+            path.encode(), int(append), ctypes.c_int64(state.n), c_p(cell),
+            c_p(pos), c_p(q), c_p(types), c_p(gid), c_p(names),
+            ctypes.c_int64(len(atom_names)))
+        if rc == 0:
+            return
     with open(path, "a" if append else "w") as fh:
         fh.write(f"{state.n:9d}\n")
         fh.write(f"{la:12.5f}{lb:12.5f}{lc:12.5f}{al:8.3f}{be:8.3f}{ga:8.3f}\n")
