@@ -60,6 +60,17 @@ def main(argv=None):
 
     os.makedirs(cfg.data_dir, exist_ok=True)
 
+    if cfg.mdmode == 10:
+        # structural optimization instead of MD (ref: main.F90:25, cg.F90)
+        from . import opt
+        opt.conjugate_gradient(eng, ftol=cfg.ftol)
+        from .io import checkpoint as _ck
+        _ck.save(os.path.join(cfg.data_dir, "rxff.npz"), eng.state)
+        refbin.write_rxff_bin(os.path.join(cfg.data_dir, "rxff.bin"),
+                              eng.state)
+        print("structural optimization finished")
+        return 0
+
     def writer(state, comps):
         base = os.path.join(cfg.data_dir,
                             f"{int(state.step):09d}")

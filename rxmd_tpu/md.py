@@ -391,6 +391,34 @@ class Engine:
         self.nqeq = nq
         return comps
 
+    def stress(self):
+        """Stress tensor [GPa]: kinetic term + potential virial as the
+        strain derivative of the total energy (the autodiff analog of the
+        reference's Σ pos·f accumulation, pot.F90:65-72 + main.F90:86-94).
+        Returns the symmetric 3x3 tensor; pressure = trace/3."""
+        s = self.state
+        nbrs = getattr(self, "nbrs", None)
+        if nbrs is None:
+            self.state, self.nbrs = self._rebuild(self.state)
+            nbrs = self.nbrs
+            s = self.state
+        nbrs = self._tight_nbrs(s.pos, s.H, s.types, nbrs)
+
+        def e_strained(eps):
+            strain = jnp.eye(3, dtype=self.dtype) + eps
+            pos = s.pos @ strain.T
+            H = strain @ s.H
+            return reax.total_energy(pos, s.q, H, s.types, s.gid, self.img,
+                                     nbrs, self.ffd, caps=self.caps,
+                                     pq=self.pq, spos=s.spos)
+
+        virial = -jax.grad(e_strained)(jnp.zeros((3, 3), self.dtype))
+        m = (2.0 * self.hmas)[s.types]
+        kin = jnp.einsum("i,ia,ib->ab", m, s.vel, s.vel)
+        vol = jnp.abs(jnp.linalg.det(s.H))
+        sym = 0.5 * (virial + virial.T)
+        return np.asarray((kin + sym) / vol * units.USTRS)
+
     def printe_line(self):
         """PRINTE-format observables (ref: main.F90:210-263)."""
         s = self.state
