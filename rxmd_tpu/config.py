@@ -60,7 +60,14 @@ class RunConfig:
     kb_cap: int = 0              # 0 = auto-size from first neighbor build
     knb_cap: int = 0
     nbr_skin: float = 1.0        # Verlet skin [A] added to list cutoffs
-    rebuild_every: int = 10      # neighbor-list rebuild cadence [steps]
+    rebuild_every: int = 20      # neighbor-list rebuild cadence [steps];
+                                 # safe while max drift < skin/2 (thermal
+                                 # drift at 300K is ~5e-3 A/step at dt=0.25fs)
+    tighten_lists: bool = False  # per-step compaction of skinned lists to
+                                 # the true cutoffs: saves ~1.4x in term
+                                 # shapes but costs two top_k sorts per step
+                                 # (energy kernels re-check cutoffs either
+                                 # way, so results are identical)
     spring_const: float = 0.0
     spring_types: tuple = ()
 

@@ -173,7 +173,12 @@ class Engine:
 
     # ------------------------------------------------------------------
     def _tight_nbrs(self, pos, H, types, nbrs):
-        """Per-step compaction of the skinned lists to the true cutoffs."""
+        """Per-step compaction of the skinned lists to the true cutoffs
+        (optional: the energy kernels re-check the true cutoffs themselves,
+        and on TPU the compaction's sorts/gathers usually cost more than the
+        ~1.4x larger term shapes save)."""
+        if not self.cfg.tighten_lists:
+            return nbrs
         return neighbors.tighten(pos, H, types, self.img, nbrs,
                                  self.ffd.rc2b, self.ffd.rctap2,
                                  self.caps["kb_t"], self.caps["knb_t"])

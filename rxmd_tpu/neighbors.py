@@ -37,6 +37,29 @@ class ImageTable(NamedTuple):
     shift: jax.Array   # (M, 3) shift in lattice-vector units
     nimg: tuple        # images per axis (static)
 
+    @property
+    def n_own(self) -> int:
+        """Number of owned atoms (ext rows are S repeats of them)."""
+        s = 1
+        for k in self.nimg:
+            s *= 2 * k + 1
+        return self.owner.shape[0] // s
+
+    @property
+    def n_images(self) -> int:
+        s = 1
+        for k in self.nimg:
+            s *= 2 * k + 1
+        return s
+
+    def owner_of(self, idx):
+        """Owner of extended index, computed arithmetically (owner[m] = m % N
+        by construction) — a 2.6M-element `owner[idx]` gather costs ~23 ms on
+        TPU, `idx % N` is free."""
+        if self.n_images == 1:
+            return idx
+        return idx % jnp.int32(self.n_own)
+
 
 def make_image_table(n: int, nimg=(1, 1, 1), dtype=jnp.float64) -> ImageTable:
     """All periodic images with |s_k| <= nimg_k; the zero shift comes first so

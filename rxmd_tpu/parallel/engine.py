@@ -304,9 +304,10 @@ class ShardedEngine:
         f = -(g @ self.Hi)
         # nonbonded term: directed-pair enumeration gives complete row-local
         # forces on residents — no ghost-force copy-back needed at all
-        evdw, eclmb, echarge, f_nb = reax.nonbond_energy_forces(
-            pos_rel, q_ext_new, self.Hg, types_ext, img, nbrs, gid_ext,
-            amask, self.ffd)
+        ctx = reax.nb_ctx(pos_rel, q_ext_new, self.Hg, types_ext, img,
+                          nbrs, gid_ext, amask, self.ffd)
+        evdw, eclmb, echarge, f_nb = reax.nonbond_tbl_energy_forces(
+            ctx, q_ext_new, types_ext, amask, self.ffd)
         comps = (comps.at[11].set(self._psum(evdw))
                  .at[12].set(self._psum(eclmb))
                  .at[13].set(self._psum(echarge)))

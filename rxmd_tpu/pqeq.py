@@ -182,7 +182,7 @@ def solve(pos, spos, q, qsfp, H, types, img: ImageTable, nbrs: Neighbors,
     spose = spos[img.owner]          # shells ride their owner's displacement
     mask = nbrs.masknb
     idx = jnp.where(mask, nbrs.idxnb, 0)
-    oj = img.owner[idx]
+    oj = img.owner_of(idx)
     ti = types[:, None]
     tj = types[oj]
     dr = pos[:, None, :] - pose[idx]
@@ -306,7 +306,7 @@ def update_shells(pos, spos, q, H, types, img, nbrs, pq: PQEqParams, amask,
     spose = spos[img.owner]
     mask = nbrs.masknb
     idx = jnp.where(mask, nbrs.idxnb, 0)
-    oj = img.owner[idx]
+    oj = img.owner_of(idx)
     ti = types[:, None]
     tj = types[oj]
     zi = pq.Z[types]

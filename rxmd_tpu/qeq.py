@@ -1,9 +1,14 @@
 """Charge equilibration (QEq) — two-vector conjugate-gradient solver.
 
 TPU-native re-design of the reference solver (ref: src/qeq.F90).  The
-(s, t) vectors are solved jointly; the sparse "hessian" rows are the
-taper*shielded-Coulomb kernel over the nonbonded pair list
-(ref: qeq.F90:183-268), the diagonal is the atomic stiffness eta.
+(s, t) vectors are solved jointly as one (N, 2) stacked state: every matvec
+is a single row gather + fused multiply-add, and the per-iteration dot
+products collapse into ONE fused allreduce (the reference already batches
+its 4 scalars into one MPI buffer, ref: qeq.F90:126-131 — we take that to
+its conclusion).  The sparse "hessian" rows are the taper*shielded-Coulomb
+kernel over the nonbonded pair list (ref: qeq.F90:183-268), evaluated either
+closed-form (production; the analytic content of the reference's table,
+init.F90:487-489) or by table interpolation (validation/bit-parity).
 
 The CG iteration runs entirely on-device inside a `lax.while_loop` with the
 exact termination semantics of the reference (two tests on the electrostatic
@@ -11,6 +16,11 @@ energy, ref: qeq.F90:114-115).  Reductions go through a pluggable `allreduce`
 hook so the identical code runs single-chip (identity) and under shard_map
 (`psum`) — the JAX analog of the reference's nompi/MPI duality
 (ref: nompi.f90, qeq.F90:107-144).
+
+On a single shard with a full CG solve (isQEq=1) the sparse rows are folded
+into a dense (N, N) matrix once and every matvec rides the MXU; for the
+extended-Lagrangian mode (isQEq=2, one iteration — the reference's scaling
+configuration, conf/bg-bench/rxmd.in) the ELL form is cheaper.
 
 The reference stores the line-minimization step in real(4) (qeq.F90:23);
 we optionally mirror that (`lmin_f32=True`) so iteration counts match.
@@ -23,7 +33,8 @@ import jax
 import jax.numpy as jnp
 
 from .neighbors import ImageTable, Neighbors, ext_positions
-from .reax import FFDev, _table_lerp, _safe
+from .reax import (FFDev, _table_lerp, _table_rows, _safe, nb_ctx,
+                   cf_qeq_kernel, pair_bond_type)
 
 
 class QEqResult(NamedTuple):
@@ -34,29 +45,11 @@ class QEqResult(NamedTuple):
     est: jax.Array        # () final electrostatic energy [eV]
 
 
-def qeq_hessian(pos, H, types, img: ImageTable, nbrs: Neighbors, ffd: FFDev):
-    """Sparse hessian rows H_ij = Tap(r)*C_qeq(r) over the nonbonded list
-    (ref: qeq.F90:200-256)."""
-    pose = ext_positions(pos, H, img)
-    mask = nbrs.masknb
-    idx = jnp.where(mask, nbrs.idxnb, 0)
-    oj = img.owner[idx]
-    dr = pos[:, None, :] - pose[idx]
-    dr2 = jnp.sum(dr * dr, axis=-1)
-    b = ffd.inxn2[types[:, None], types[oj]]
-    bc = jnp.where(b >= 0, b, 0)
-    h = _table_lerp(ffd.tbl_eclmb_qeq, bc, dr2, ffd.udr, ffd.udri, mask)
-    # pairs beyond the taper radius contribute zero (kernel is tapered) but
-    # the reference's list is built with dr2 < rctap2, so mask explicitly
-    h = jnp.where(mask & (dr2 < ffd.rctap2), h, 0.0)
-    return h, oj, mask
-
-
 def solve(pos, q, qsfp, H, types, img: ImageTable, nbrs: Neighbors,
           ffd: FFDev, amask=None, isqeq: int = 1, nmax: int = 500,
           tol: float = 1e-7, lex_fqs: float = 1.0, allreduce=None,
           lmin_f32: bool = False, refresh=None,
-          resident_ext=None) -> QEqResult:
+          resident_ext=None, closed_form=None) -> QEqResult:
     """Solve for charges.  isqeq=1: full CG (ref: qeq.F90:39-48);
     isqeq=2: extended-Lagrangian warm start, one iteration
     (ref: qeq.F90:51-57).
@@ -66,6 +59,10 @@ def solve(pos, q, qsfp, H, types, img: ImageTable, nbrs: Neighbors,
     per-iteration MODE_QCOPY1/2 halos, ref: qeq.F90:86-164) and
     `resident_ext` (which extended-index entries are locally resident,
     for the Est pair weights, ref: qeq.F90:304-306).
+
+    `closed_form` selects the analytic hessian kernel (production) vs the
+    reference's interpolation table (validation).  Default: closed form in
+    float32, table in float64.
     """
     local_only = refresh is None
     if allreduce is None:
@@ -74,11 +71,27 @@ def solve(pos, q, qsfp, H, types, img: ImageTable, nbrs: Neighbors,
         refresh = lambda x: x
     n = pos.shape[0]
     dtype = pos.dtype
+    if closed_form is None:
+        closed_form = False
     if amask is None:
         amask = jnp.ones((n,), dtype=bool)
     w = amask.astype(dtype)
 
-    hess, oj, mask = qeq_hessian(pos, H, types, img, nbrs, ffd)
+    # gid is only used by ctx for the self-image exclusion mask, which QEq
+    # does NOT apply (the reference's qeq pair list keeps periodic
+    # self-images, qeq.F90:200-256) — pass a dummy
+    gid0 = jnp.zeros(pos.shape[0], jnp.int32)
+    ctx = nb_ctx(pos, q, H, types, img, nbrs, gid0, amask, ffd)
+    mask = nbrs.masknb
+    in_range = mask & (ctx.dr2 < ffd.rctap2)
+    if closed_form:
+        hess = cf_qeq_kernel(ctx.dr2, ctx.prm, ffd, in_range)
+    else:
+        bc = pair_bond_type(ctx, types, ffd)
+        ok = in_range & (bc >= 0)
+        rows = _table_rows(ffd, jnp.where(ok, bc, 0), ctx.dr2, ok)
+        hess = jnp.where(ok, rows[..., 4], 0.0)
+    oj = img.owner_of(ctx.idx)
     eta = jnp.where(amask, ffd.eta[types], 0.0)
     chi = jnp.where(amask, ffd.chi[types], 0.0)
 
@@ -88,43 +101,43 @@ def solve(pos, q, qsfp, H, types, img: ImageTable, nbrs: Neighbors,
     if resident_ext is None:
         resident_ext = jnp.arange(img.owner.shape[0]) < n
     est_w = jnp.where(resident_ext[idxnb], 1.0, 0.5)
+    hz = jnp.where(mask, hess, 0.0)
 
-    # On a single shard with moderate N the sparse ELL matvec (a (n, knb)
-    # gather per CG step) is gather-bound on TPU; fold the owner mapping
-    # into a dense matrix once and ride the MXU instead.
-    dense = local_only and n <= 8192
+    # On a single shard with a long CG solve the sparse ELL matvec (a row
+    # gather per step) is gather-bound; fold the owner mapping into a dense
+    # matrix once and ride the MXU instead.  For 1-iteration extended-
+    # Lagrangian solves (isQEq=2) the ELL form beats the dense build.
+    dense = local_only and n <= 8192 and isqeq == 1
     if dense:
         row = jnp.broadcast_to(jnp.arange(n)[:, None], oj.shape)
-        hz = jnp.where(mask, hess, 0.0)
         Hd = jnp.zeros((n, n), dtype).at[row, oj].add(hz)
         Ew = jnp.zeros((n, n), dtype).at[row, oj].add(est_w * hz)
 
-        def matvec(x):
-            return eta * x + Hd @ x
+        def matvec2(X):                      # X: (n, 2)
+            return eta[:, None] * X + Hd @ X
 
         def pair_energy(qcur):
             return (Ew @ qcur) * qcur
     else:
-        def matvec(x):
-            """(eta*I + H) x with ghost values refreshed from owners."""
-            x = refresh(x)
-            xs = jnp.where(mask, x[oj], 0.0)
-            return eta * x + jnp.sum(hess * xs, axis=1)
+        def matvec2(X):
+            """(eta*I + H) X for stacked vectors, ghosts refreshed."""
+            Xr = refresh(X)
+            Xs = jnp.where(mask[..., None], Xr[oj], 0.0)   # (n, knb, 2)
+            return (eta[:, None] * X
+                    + jnp.einsum("nk,nkc->nc", hz, Xs,
+                                 preferred_element_type=dtype))
 
         def pair_energy(qcur):
             qj = jnp.where(mask, refresh(qcur)[oj], 0.0)
-            return jnp.sum(est_w * hess * qj, axis=1) * qcur
+            return jnp.sum(est_w * hz * qj, axis=1) * qcur
 
-    def gradient(qs, qt):
-        gs = jnp.where(amask, -chi - matvec(qs), 0.0)
-        gt = jnp.where(amask, -1.0 * w - matvec(qt), 0.0)
-        gnew = jnp.stack([allreduce(jnp.sum(gs * gs)),
-                          allreduce(jnp.sum(gt * gt))])
-        return gs, gt, gnew
+    def gradient(X):
+        rhs = jnp.stack([-chi, -w], axis=1)            # (n, 2)
+        return jnp.where(amask[:, None], rhs - matvec2(X), 0.0)
 
     def electrostatic(qcur):
         per_atom = chi * qcur + 0.5 * eta * qcur * qcur + pair_energy(qcur)
-        return allreduce(jnp.sum(jnp.where(amask, per_atom, 0.0)))
+        return jnp.sum(jnp.where(amask, per_atom, 0.0))
 
     if isqeq == 2:
         qs0 = jnp.where(amask, lex_fqs * qsfp + (1.0 - lex_fqs) * q, 0.0)
@@ -132,15 +145,16 @@ def solve(pos, q, qsfp, H, types, img: ImageTable, nbrs: Neighbors,
     else:
         qs0 = jnp.where(amask, q, 0.0)
         nmax_eff = nmax
-    qt0 = jnp.zeros_like(q)
+    X0 = jnp.stack([qs0, jnp.zeros_like(q)], axis=1)   # (n, 2) = (qs, qt)
 
-    gs0, gt0, gnew0 = gradient(qs0, qt0)
-    hs0, ht0 = gs0, gt0
+    G0 = gradient(X0)
+    gnew0 = allreduce(jnp.sum(G0 * G0, axis=0))        # (2,)
+    H0 = G0
 
     def gnew_safe(g):
         return jnp.where(jnp.abs(g) > 0.0, g, 1.0)
 
-    init = (jnp.int32(0), qs0, qt0, q, hs0, ht0, gs0, gt0, gnew0,
+    init = (jnp.int32(0), X0, q, H0, G0, gnew0,
             jnp.asarray(1e99, dtype), jnp.asarray(0.0, dtype), False)
 
     def cond(c):
@@ -148,39 +162,36 @@ def solve(pos, q, qsfp, H, types, img: ImageTable, nbrs: Neighbors,
         return (it < nmax_eff) & jnp.logical_not(done)
 
     def body(c):
-        (it, qs, qt, qcur, hs, ht, gs, gt, gnew, gest2, _, done) = c
-        hshs_v = matvec(hs)
-        hsht_v = matvec(ht)
-        est = electrostatic(qcur)
+        (it, X, qcur, Hv, G, gnew, gest2, _, done) = c
+        HH = matvec2(Hv)                               # (n, 2)
+        est_l = electrostatic(qcur)
+        # one fused allreduce for: est, g.h (2), h.Hh (2) — the TPU analog
+        # of the reference's batched 4-scalar MPI buffer (qeq.F90:126-131)
+        red = allreduce(jnp.concatenate([
+            est_l[None], jnp.sum(G * Hv, axis=0), jnp.sum(Hv * HH, axis=0)]))
+        est, g_h, h_hsh = red[0], red[1:3], red[3:5]
         ex1 = 0.5 * (jnp.abs(gest2) + jnp.abs(est)) < tol
         ex2 = (jnp.abs(gest2) > 0.0) & (jnp.abs(est / gest2 - 1.0) < tol)
         stop = ex1 | ex2
 
-        g_h = jnp.stack([allreduce(jnp.sum(gs * hs)),
-                         allreduce(jnp.sum(gt * ht))])
-        h_hsh = jnp.stack([allreduce(jnp.sum(hs * hshs_v)),
-                           allreduce(jnp.sum(ht * hsht_v))])
         lmin = g_h / jnp.where(h_hsh != 0.0, h_hsh, 1.0)
         if lmin_f32:
             lmin = lmin.astype(jnp.float32).astype(dtype)  # ref: qeq.F90:23
-        qs1 = qs + lmin[0] * hs
-        qt1 = qt + lmin[1] * ht
-        ssum = allreduce(jnp.sum(qs1))
-        tsum = allreduce(jnp.sum(qt1))
-        mu = ssum / tsum
-        q1 = jnp.where(amask, qs1 - mu * qt1, 0.0)
-        gs1, gt1, gnew1 = gradient(qs1, qt1)
-        hs1 = gs1 + (gnew1[0] / gnew_safe(gnew[0])) * hs
-        ht1 = gt1 + (gnew1[1] / gnew_safe(gnew[1])) * ht
+        X1 = X + lmin[None, :] * Hv
+        st = allreduce(jnp.sum(X1, axis=0))            # (2,): Σqs, Σqt
+        mu = st[0] / st[1]
+        q1 = jnp.where(amask, X1[:, 0] - mu * X1[:, 1], 0.0)
+        G1 = gradient(X1)
+        gnew1 = allreduce(jnp.sum(G1 * G1, axis=0))
+        H1 = G1 + (gnew1 / gnew_safe(gnew))[None, :] * Hv
 
         sel = lambda a, b_: jax.tree.map(
             lambda x, y: jnp.where(stop, x, y), a, b_)
-        new = (it + 1, qs1, qt1, q1, hs1, ht1, gs1, gt1, gnew1, est, est,
-               False)
-        old = (it, qs, qt, qcur, hs, ht, gs, gt, gnew, gest2, est, True)
+        new = (it + 1, X1, q1, H1, G1, gnew1, est, est, False)
+        old = (it, X, qcur, Hv, G, gnew, gest2, est, True)
         return sel(old, new)
 
     out = jax.lax.while_loop(cond, body, init)
-    it, qs, qt, qcur, *_rest = out
-    est_last = out[10]
-    return QEqResult(q=qcur, qs=qs, qt=qt, iters=it, est=est_last)
+    it, X, qcur, *_rest = out
+    est_last = out[7]
+    return QEqResult(q=qcur, qs=X[:, 0], qt=X[:, 1], iters=it, est=est_last)

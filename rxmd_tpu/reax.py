@@ -120,6 +120,30 @@ class FFDev(NamedTuple):
     udr: jax.Array
     udri: jax.Array
     rctap2: jax.Array
+    # --- closed-form nonbond kernels (production path; the tables above are
+    # kept for bit-parity validation against the reference's interpolation,
+    # ref: init.F90:421-522).  Gathering 8 table values per pair costs ~25 ms
+    # per 2.6M pairs on TPU; evaluating the analytic kernel on the VPU and
+    # selecting per-pair-type params with a one-hot matmul costs ~2 ms.
+    pvdW1h: jax.Array         # () scalar
+    pvdW1inv: jax.Array
+    ctap: jax.Array           # (8,) taper coefficients
+    cf_pair: jax.Array        # (nso, nso, 11): [exists, gamW^-p, alpha,
+                              #  1/rvdW, Dij, gamij, C_lg, dr6_lg, ecore,
+                              #  acore, 1/rcore]
+    is_lg: bool               # static
+    # packed per-interaction-type parameter rows (one row gather replaces
+    # 9-17 separate small-table gathers at ~15 ms each)
+    angprm: jax.Array         # (nanty, 17)
+    torprm: jax.Array         # (ntoty, 9)
+    hbprm: jax.Array          # (nhbty, 4)
+    hbok: jax.Array           # (nso, nso, nso) 1.0 where an hbond type exists
+    t4ok: jax.Array           # (nso, nso, nso, nso) 1.0 where torsion exists
+    # row-packed nonbond tables: (nboty*(NTABLE+1), 5) columns
+    # [evdw, eclmb, devdw, declmb, eclmb_qeq] — interpolation needs only TWO
+    # row gathers instead of 8-10 scalar gathers, with values bit-identical
+    # to the reference's tables
+    tblpack: jax.Array
 
 
 def ffdev_from(ff: ForceField, dtype=jnp.float64, rctap: float = None,
@@ -141,6 +165,39 @@ def ffdev_from(ff: ForceField, dtype=jnp.float64, rctap: float = None,
                     # (ref: pot.F90:595 and comment pot.F90:561-567)
     f = lambda a: jnp.asarray(a, dtype)
     i32 = lambda a: jnp.asarray(a, jnp.int32)
+
+    # closed-form pair parameter tensor (see FFDev.cf_pair)
+    nso = ff.nso
+    cf = np.zeros((nso, nso, 11))
+    for i in range(nso):
+        for j in range(nso):
+            b = ff.inxn2[i, j]
+            if b < 0:
+                continue
+            cf[i, j, 0] = 1.0
+            cf[i, j, 1] = (1.0 / ff.gamW[i, j]) ** ff.pvdW1
+            cf[i, j, 2] = ff.alpij[i, j]
+            cf[i, j, 3] = 1.0 / ff.rvdW[i, j]
+            cf[i, j, 4] = ff.Dij[i, j]
+            cf[i, j, 5] = ff.gamij[i, j]
+            if ff.is_lg and i < 4 and j < 4:
+                cf[i, j, 6] = ff.C_lg[i, j]
+                cf[i, j, 7] = (2.0 * np.sqrt(ff.Re_lg[i] * ff.Re_lg[j])) ** 6
+                cf[i, j, 8] = ff.ecore[i, j]
+                cf[i, j, 9] = ff.acore[i, j]
+                cf[i, j, 10] = 1.0 / ff.rcore[i, j] if ff.rcore[i, j] else 0.0
+
+    angprm = np.stack([
+        ff.theta00, ff.pval1, ff.pval2, ff.pval4, ff.pval6, ff.pval7,
+        ff.pval8, ff.pval9, ff.pval10, ff.ppen1, ff.ppen2, ff.ppen3,
+        ff.ppen4, ff.pcoa1, ff.pcoa2, ff.pcoa3, ff.pcoa4], axis=-1)
+    torprm = np.stack([ff.V1, ff.V2, ff.V3, ff.ptor1, ff.ptor2, ff.ptor3,
+                       ff.ptor4, ff.pcot1, ff.pcot2], axis=-1)
+    if ff.r0hb.shape[0] > 0:
+        hbprm = np.stack([ff.r0hb, ff.phb1, ff.phb2, ff.phb3], axis=-1)
+    else:
+        hbprm = np.zeros((0, 4))
+
     return FFDev(
         vpar1=f(ff.vpar1), vpar2=f(ff.vpar2),
         cutoff_vpar30=f(ff.cutoff_vpar30),
@@ -174,6 +231,16 @@ def ffdev_from(ff: ForceField, dtype=jnp.float64, rctap: float = None,
         tbl_eclmb_qeq=f(tables["eclmb_qeq"]),
         udr=f(tables["udr"]), udri=f(tables["udri"]),
         rctap2=f(tables["rctap2"]),
+        pvdW1h=f(0.5 * ff.pvdW1), pvdW1inv=f(1.0 / ff.pvdW1),
+        ctap=f(np.array(units.taper_coeffs(rctap))),
+        cf_pair=f(cf), is_lg=bool(ff.is_lg),
+        angprm=f(angprm), torprm=f(torprm), hbprm=f(hbprm),
+        hbok=f((ff.inxn3hb >= 0).astype(np.float64)),
+        t4ok=f((ff.inxn4 >= 0).astype(np.float64)),
+        tblpack=f(np.stack(
+            [tables["evdw"], tables["eclmb"], tables["devdw"],
+             tables["declmb"], tables["eclmb_qeq"]],
+            axis=-1).reshape(-1, 5)),
     )
 
 
@@ -190,6 +257,194 @@ def _safe(x, mask, safe_val=1.0):
 def _powm(x, p, mask):
     """x**p with masked lanes forced to a safe base."""
     return jnp.where(mask, _safe(x, mask) ** p, 0.0)
+
+
+# ----------------------------------------------------------------------------
+# Shared nonbonded pair context.
+#
+# On TPU the dominant cost of the pair terms is random HBM gathers (~23 ms
+# per 2.6M-element gather, measured) — NOT flops.  So: gather all per-neighbor
+# data (position, charge, type one-hot) in ONE packed row gather (~3x cheaper
+# per element than scalar gathers), derive everything else arithmetically,
+# and select per-pair-type parameters with a one-hot matmul on the MXU
+# (~15x cheaper than a small-table gather).
+# ----------------------------------------------------------------------------
+
+class NbCtx(NamedTuple):
+    idx: jax.Array      # (n, knb) clamped ext indices
+    mask: jax.Array     # (n, knb) slot valid & within taper & live row
+    notself: jax.Array  # (n, knb) excludes periodic self-images (gid rule,
+                        # ref: pot.F90:715) — QEq keeps them, ENbond drops
+    dr: jax.Array       # (n, knb, 3) r_i - r_j  (stop-gradient)
+    dr2: jax.Array      # (n, knb)
+    qj: jax.Array       # (n, knb)
+    tjoh: jax.Array     # (n, knb, nso) neighbor-type one-hot
+    prm: jax.Array      # (n, knb, 11) closed-form pair params (col 0=exists)
+
+
+def nb_ctx(pos, q, H, types, img: ImageTable, nbrs: Neighbors, gid, amask,
+           ffd: FFDev) -> NbCtx:
+    """Build the shared nonbonded pair data with a single packed row gather.
+    Not differentiable (the fast force paths use the analytic derivative
+    columns instead of autodiff, ref: pot.F90:736-761)."""
+    n = pos.shape[0]
+    nso = ffd.cf_pair.shape[0]
+    dtype = pos.dtype
+    pos = jax.lax.stop_gradient(pos)
+    pose = ext_positions(pos, H, img)
+    S = img.n_images
+    toh = jax.nn.one_hot(types, nso, dtype=dtype)
+    if S > 1:
+        qe = jnp.tile(q, S)
+        tohe = jnp.tile(toh, (S, 1))
+    else:
+        qe, tohe = q, toh
+    packed = jnp.concatenate([pose, qe[:, None], tohe], axis=1)
+    masks = nbrs.masknb
+    idx = jnp.where(masks, nbrs.idxnb, 0)
+    rows = packed[idx]                       # (n, knb, 4+nso): the ONE gather
+    dr = pos[:, None, :] - rows[..., :3]
+    dr2 = jnp.sum(dr * dr, axis=-1)
+    qj = rows[..., 3]
+    tjoh = rows[..., 4:]
+    if S > 1:
+        # image mode: same owner <=> same global id
+        notself = img.owner_of(idx) != jnp.arange(n)[:, None]
+    else:
+        notself = gid[idx] != gid[:, None]   # sharded: ghosts carry gids
+    mask = masks & (dr2 <= ffd.rctap2) & amask[:, None]
+    prow = ffd.cf_pair[types]                # (n, nso, 11): tiny gather
+    prm = jnp.einsum("nkc,ncp->nkp", tjoh, prow,
+                     preferred_element_type=dtype)
+    return NbCtx(idx=idx, mask=mask, notself=notself, dr=dr, dr2=dr2,
+                 qj=qj, tjoh=tjoh, prm=prm)
+
+
+def _taper_pair(dr2, dr1, ctap):
+    """Taper polynomial and its r-derivative/r (ref: init.F90:437-439)."""
+    dr3 = dr1 * dr2
+    dr4 = dr2 * dr2
+    dr5 = dr1 * dr4
+    dr6 = dr2 * dr4
+    dr7 = dr1 * dr6
+    tap = (ctap[7] * dr7 + ctap[6] * dr6 + ctap[5] * dr5 + ctap[4] * dr4
+           + ctap[0])
+    dtap = (7.0 * ctap[7] * dr5 + 6.0 * ctap[6] * dr4 + 5.0 * ctap[5] * dr3
+            + 4.0 * ctap[4] * dr2)
+    return tap, dtap
+
+
+def cf_nonbond(dr2, prm, ffd: FFDev, mask):
+    """Closed-form vdW and Coulomb kernels + (dE/dr)/r derivative columns —
+    the analytic content of the reference's tables (ref: init.F90:440-514,
+    incl. the LG dispersion + inner-core terms init.F90:496-514)."""
+    ok = mask & (prm[..., 0] > 0.5)
+    dr2s = _safe(dr2, ok)
+    dr1 = jnp.sqrt(dr2s)
+    tap, dtap = _taper_pair(dr2s, dr1, ffd.ctap)
+    gamwinvp = prm[..., 1]
+    alpha = prm[..., 2]
+    rvdwi = prm[..., 3]
+    dij = prm[..., 4]
+    gamij = prm[..., 5]
+    rij_vd1 = dr2s ** ffd.pvdW1h
+    fn13 = (rij_vd1 + _safe(gamwinvp, ok)) ** ffd.pvdW1inv
+    exp1 = jnp.exp(alpha * (1.0 - fn13 * rvdwi))
+    exp2 = jnp.sqrt(exp1)
+    dr3 = dr1 * dr2s
+    dr3gam = (dr3 + _safe(gamij, ok)) ** (-1.0 / 3.0)
+    evdw = tap * dij * (exp1 - 2.0 * exp2)
+    eclmb1 = tap * units.CCLMB0 * dr3gam          # per unit q_i q_j
+    dfn13 = ((rij_vd1 + _safe(gamwinvp, ok)) ** (ffd.pvdW1inv - 1.0)
+             * dr2s ** (ffd.pvdW1h - 1.0))
+    devdw = dij * (dtap * (exp1 - 2.0 * exp2)
+                   - tap * (alpha * rvdwi) * (exp1 - exp2) * dfn13)
+    declmb1 = units.CCLMB0 * dr3gam * (dtap - dr3gam ** 3 * tap * dr1)
+    if ffd.is_lg:
+        dr6 = dr3 * dr3
+        dr6lg = prm[..., 7]
+        clg = prm[..., 6]
+        elg = -clg / (dr6 + _safe(dr6lg, ok))
+        ecore = prm[..., 8] * jnp.exp(prm[..., 9] * (1.0 - dr1 * prm[..., 10]))
+        delg = clg * 6.0 * dr2s * dr2s / (dr6 + _safe(dr6lg, ok)) ** 2
+        decore = -prm[..., 9] * ecore * prm[..., 10] / dr1
+        evdw = evdw + tap * (elg + ecore)
+        devdw = devdw + dtap * (elg + ecore) + tap * (delg + decore)
+    return evdw, eclmb1, devdw, declmb1, ok
+
+
+def cf_qeq_kernel(dr2, prm, ffd: FFDev, mask):
+    """Closed-form QEq hessian kernel Tap(r) * 14.4 / (r^3+gamma)^(1/3)
+    (ref: qeq kernel of POTENTIALTABLE, init.F90:487-489)."""
+    ok = mask & (prm[..., 0] > 0.5)
+    dr2s = _safe(dr2, ok)
+    dr1 = jnp.sqrt(dr2s)
+    tap, _ = _taper_pair(dr2s, dr1, ffd.ctap)
+    dr3gam = (dr1 * dr2s + _safe(prm[..., 5], ok)) ** (-1.0 / 3.0)
+    return jnp.where(ok, tap * units.CCLMB0_QEQ * dr3gam, 0.0)
+
+
+def pair_bond_type(ctx: NbCtx, types, ffd: FFDev):
+    """Per-pair bond-type index via one-hot contraction (exact: one-hot x
+    integer values), avoiding a 2.6M-element (nso,nso) table gather."""
+    bcrow = ffd.inxn2[types].astype(ctx.tjoh.dtype)       # (n, nso) tiny
+    bcf = jnp.einsum("nkc,nc->nk", ctx.tjoh, bcrow,
+                     preferred_element_type=ctx.tjoh.dtype)
+    return jnp.round(bcf).astype(jnp.int32)
+
+
+def _table_rows(ffd: FFDev, bc, dr2, mask):
+    """All 5 tabulated kernel columns at r^2, via two packed row gathers —
+    bit-identical to per-table interpolation (ref: pot.F90:729-743)."""
+    nrows_per_type = ffd.tbl_evdw.shape[1]                # NTABLE+1
+    x = _safe(dr2, mask, 0.5 * ffd.udr) * ffd.udri
+    itb = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, nrows_per_type - 2)
+    w = (x - itb)[..., None]
+    base = bc * nrows_per_type + itb
+    r0 = ffd.tblpack[base]                                # (n, knb, 5)
+    r1 = ffd.tblpack[base + 1]
+    return (1.0 - w) * r0 + w * r1
+
+
+def nonbond_tbl_energy_forces(ctx: NbCtx, q, types, amask, ffd: FFDev):
+    """van der Waals + Coulomb energies AND explicit forces from the
+    reference's derivative tables (ref: pot.F90:736-761) over the shared
+    pair context.  Values are bit-identical to the reference's table
+    interpolation; forces accumulate row-locally (no backward scatter)."""
+    bc = pair_bond_type(ctx, types, ffd)
+    m = ctx.mask & ctx.notself & (bc >= 0)
+    rows = _table_rows(ffd, jnp.where(m, bc, 0), ctx.dr2, m)
+    qq = q[:, None] * ctx.qj
+    evdw = 0.5 * jnp.sum(jnp.where(m, rows[..., 0], 0.0))
+    eclmb = 0.5 * jnp.sum(jnp.where(m, rows[..., 1] * qq, 0.0))
+    ffac = jnp.where(m, rows[..., 2] + rows[..., 3] * qq, 0.0)
+    f = -jnp.sum(ffac[..., None] * ctx.dr, axis=1)
+    echarge = jnp.sum(jnp.where(
+        amask,
+        units.CECHRGE * (ffd.chi[types] * q + 0.5 * ffd.eta[types] * q * q),
+        0.0))
+    return evdw, eclmb, echarge, f
+
+
+def nonbond_cf_energy_forces(ctx: NbCtx, q, types, amask, ffd: FFDev):
+    """vdW + Coulomb energies and row-local forces from the closed-form
+    kernels.  Directed-pair enumeration: forces accumulate on the row atom
+    only (no backward scatter); energies carry the 0.5 double-count factor.
+    Production analog of `nonbond_tbl_energy_forces` (same force expression
+    as ref pot.F90:736-761, analytic instead of interpolated)."""
+    m = ctx.mask & ctx.notself
+    evdw_p, eclmb1, devdw, declmb1, ok = cf_nonbond(ctx.dr2, ctx.prm, ffd, m)
+    m = m & ok
+    qq = q[:, None] * ctx.qj
+    evdw = 0.5 * jnp.sum(jnp.where(m, evdw_p, 0.0))
+    eclmb = 0.5 * jnp.sum(jnp.where(m, eclmb1 * qq, 0.0))
+    ffac = jnp.where(m, devdw + declmb1 * qq, 0.0)
+    f = -jnp.sum(ffac[..., None] * ctx.dr, axis=1)
+    echarge = jnp.sum(jnp.where(
+        amask,
+        units.CECHRGE * (ffd.chi[types] * q + 0.5 * ffd.eta[types] * q * q),
+        0.0))
+    return evdw, eclmb, echarge, f
 
 
 # ----------------------------------------------------------------------------
@@ -215,7 +470,7 @@ def bond_order(pos, H, types, img: ImageTable, nbrs: Neighbors,
     idx = jnp.where(mask, nbrs.idxb, 0)
     pose = ext_positions(pos, H, img)
 
-    oj = img.owner[idx]                       # (N, kb) owning atom of neighbor
+    oj = img.owner_of(idx)                       # (N, kb) owning atom of neighbor
     ti = types[:, None]
     tj = types[oj]
     b = ffd.inxn2[ti, tj]                     # bond type; valid where mask
@@ -323,7 +578,7 @@ def e_bond(types, img, nbrs, bo: BondOrder, gid, amask, ffd: FFDev):
     """Sigma/pi/pipi bond energy (ref: pot.F90:926-977)."""
     mask = bo.mask
     idx = jnp.where(mask, nbrs.idxb, 0)
-    oj = img.owner[idx]
+    oj = img.owner_of(idx)
     b = ffd.inxn2[types[:, None], types[oj]]
     # count each bond once via global-id ordering (ref: pot.F90:949)
     mask = mask & (gid[oj] < gid[:, None]) & amask[:, None]
@@ -342,7 +597,7 @@ def e_lnpr(types, img, nbrs, bo: BondOrder, lp: LonePair, amask,
     (ref: pot.F90:213-259)."""
     mask = bo.mask & amask[:, None]
     idx = jnp.where(bo.mask, nbrs.idxb, 0)
-    oj = img.owner[idx]
+    oj = img.owner_of(idx)
     t = types
     b = ffd.inxn2[t[:, None], types[oj]]
 
@@ -441,7 +696,7 @@ def e_3body(pos, H, types, img, nbrs, bo: BondOrder, lp: LonePair, amask,
     pose = ext_positions(pos, H, img)
     maskp = bo.mask
     idx = jnp.where(maskp, nbrs.idxb, 0)
-    oj = img.owner[idx]
+    oj = img.owner_of(idx)
     tj = types
     tnbr = types[oj]                                   # (n, kb)
 
@@ -468,6 +723,12 @@ def e_3body(pos, H, types, img, nbrs, bo: BondOrder, lp: LonePair, amask,
     # ---- per-entry gathers
     a3 = ffd.inxn3[tnbr[row, a], tj[:, None], tnbr[row, c]]
     a3 = jnp.where(valid, a3, 0)
+    # all 17 per-angle-type params in one packed row gather (vs 17 separate
+    # small-table gathers at ~2 ms each on TPU)
+    ap = ffd.angprm[a3]                                 # (n, cap, 17)
+    (theta00_, pval1_, pval2_, pval4_, pval6_, pval7_, pval8_, pval9_,
+     pval10_, ppen1_, ppen2_, ppen3_, ppen4_, pcoa1_, pcoa2_, pcoa3_,
+     pcoa4_) = [ap[..., k] for k in range(17)]
     boij = bo0[row, a] - esub
     bojk = bo0[row, c] - esub
     idx_i = idx[row, a]
@@ -489,21 +750,21 @@ def e_3body(pos, H, types, img, nbrs, bo: BondOrder, lp: LonePair, amask,
     bojk_s = _safe(bojk, valid)
 
     # --- PEval (ref: pot.F90:404-427)
-    pv4 = ffd.pval4[a3]
+    pv4 = pval4_
     pv3j = ffd.pval3[tj][:, None]
     fn7ij = 1.0 - jnp.exp(-pv3j * _powm(boij_s, pv4, valid))
     fn7jk = 1.0 - jnp.exp(-pv3j * _powm(bojk_s, pv4, valid))
     da = delta_ang[:, None]
-    exp6 = jnp.exp(ffd.pval6[a3] * da)
-    exp7 = jnp.exp(-ffd.pval7[a3] * da)
+    exp6 = jnp.exp(pval6_ * da)
+    exp7 = jnp.exp(-pval7_ * da)
     trm8 = 1.0 + exp6 + exp7
     pv5j = ffd.pval5[tj][:, None]
     fn8j = pv5j - (pv5j - 1.0) * (2.0 + exp6) / trm8
 
     sbo = (sum_sbo1[:, None]
-           + (1.0 - prod_sbo[:, None]) * (-da - ffd.pval8[a3]
+           + (1.0 - prod_sbo[:, None]) * (-da - pval8_
                                           * lp.nlp[:, None]))
-    pv9 = ffd.pval9[a3]
+    pv9 = pval9_
     sbo_s = jnp.clip(sbo, 0.0, 2.0)
     sbo2 = jnp.where(
         sbo <= 0.0, 0.0,
@@ -511,30 +772,30 @@ def e_3body(pos, H, types, img, nbrs, bo: BondOrder, lp: LonePair, amask,
                   jnp.where(sbo <= 2.0,
                             2.0 - _powm(2.0 - sbo_s, pv9,
                                         valid & (sbo < 2.0)), 2.0)))
-    theta0 = jnp.pi - ffd.theta00[a3] * (
-        1.0 - jnp.exp(-ffd.pval10[a3] * (2.0 - sbo2)))
+    theta0 = jnp.pi - theta00_ * (
+        1.0 - jnp.exp(-pval10_ * (2.0 - sbo2)))
     tdiff = theta0 - theta
-    exp2 = jnp.exp(-ffd.pval2[a3] * tdiff * tdiff)
-    peval = fn7ij * fn7jk * fn8j * (ffd.pval1[a3] - ffd.pval1[a3] * exp2)
+    exp2 = jnp.exp(-pval2_ * tdiff * tdiff)
+    peval = fn7ij * fn7jk * fn8j * (pval1_ - pval1_ * exp2)
 
     # --- PEpen (ref: pot.F90:460-466)
     dj = bo.delta[:, None]
-    exp_pen3 = jnp.exp(-ffd.ppen3[a3] * dj)
-    exp_pen4 = jnp.exp(ffd.ppen4[a3] * dj)
+    exp_pen3 = jnp.exp(-ppen3_ * dj)
+    exp_pen4 = jnp.exp(ppen4_ * dj)
     fn9 = (2.0 + exp_pen3) / (1.0 + exp_pen3 + exp_pen4)
-    pepen = (ffd.ppen1[a3] * fn9
-             * jnp.exp(-ffd.ppen2[a3] * (boij - 2.0) ** 2)
-             * jnp.exp(-ffd.ppen2[a3] * (bojk - 2.0) ** 2))
+    pepen = (ppen1_ * fn9
+             * jnp.exp(-ppen2_ * (boij - 2.0) ** 2)
+             * jnp.exp(-ppen2_ * (bojk - 2.0) ** 2))
 
     # --- PEcoa (ref: pot.F90:479-489)
-    dv = bo.delta[img.owner[idx_i]] + ffd.Val[types[img.owner[idx_i]]]
-    dk = bo.delta[img.owner[idx_k]] + ffd.Val[types[img.owner[idx_k]]]
+    dv = bo.delta[img.owner_of(idx_i)] + ffd.Val[types[img.owner_of(idx_i)]]
+    dk = bo.delta[img.owner_of(idx_k)] + ffd.Val[types[img.owner_of(idx_k)]]
     delta_val = (bo.delta + ffd.Val[tj] - ffd.Valval[tj])[:, None]
-    pecoa = (ffd.pcoa1[a3] / (1.0 + jnp.exp(ffd.pcoa2[a3] * delta_val))
-             * jnp.exp(-ffd.pcoa3[a3] * (-boij + dv) ** 2)
-             * jnp.exp(-ffd.pcoa3[a3] * (-bojk + dk) ** 2)
-             * jnp.exp(-ffd.pcoa4[a3] * (boij - 1.5) ** 2)
-             * jnp.exp(-ffd.pcoa4[a3] * (bojk - 1.5) ** 2))
+    pecoa = (pcoa1_ / (1.0 + jnp.exp(pcoa2_ * delta_val))
+             * jnp.exp(-pcoa3_ * (-boij + dv) ** 2)
+             * jnp.exp(-pcoa3_ * (-bojk + dk) ** 2)
+             * jnp.exp(-pcoa4_ * (boij - 1.5) ** 2)
+             * jnp.exp(-pcoa4_ * (bojk - 1.5) ** 2))
 
     return (jnp.sum(jnp.where(valid, peval, 0.0)),
             jnp.sum(jnp.where(valid, pepen, 0.0)),
@@ -561,7 +822,7 @@ def _torsion_mask(types, gid, img, nbrs, bo: BondOrder, amask, ffd: FFDev,
     ks = min(ks, kb)
     maskp = bo.mask
     idx = jnp.where(maskp, nbrs.idxb, 0)
-    oj = img.owner[idx]
+    oj = img.owner_of(idx)
     esub = units.CUTOF2_ESUB
     row = jnp.arange(n)[:, None]
 
@@ -578,7 +839,7 @@ def _torsion_mask(types, gid, img, nbrs, bo: BondOrder, amask, ffd: FFDev,
     bo_kl = bo_sg[oj_s[:, :, None], sslot_l]
     idx_le = idx[oj_s[:, :, None], sslot_l]            # ext index of l
     shift_k = img.shift[idx_s]                         # (n, c, 3)
-    key_l = (img.owner[idx_le].astype(jnp.int32) * 729
+    key_l = (img.owner_of(idx_le).astype(jnp.int32) * 729
              + _shift_code(img.shift[idx_le] + shift_k[:, :, None, :]))
 
     def A(x):
@@ -602,9 +863,17 @@ def _torsion_mask(types, gid, img, nbrs, bo: BondOrder, amask, ffd: FFDev,
                 * E(bo_kl) > units.MINBO0)
              & (A(key_ext[idx_s]) != E(key_l))          # i != l
              & (key_j[:, None] != E(key_l)))            # j != l
-    t4_full = ffd.inxn4[A(types[oj_s]), types[:, None, None, None],
-                        C(types[oj_s]), E(types[img.owner[idx_le]])]
-    mask4 = mask4 & (t4_full >= 0)
+    # torsion-type existence on the (a,c,e) grid: a 7.8M-element 4-D table
+    # gather costs ~60 ms on TPU; a row gather over (c,e) plus a one-hot MXU
+    # contraction over the i-type axis costs ~5 ms.
+    ti_s = types[oj_s]                                  # (n, ks)
+    tle = types[img.owner_of(idx_le)]                   # (n, c, e)
+    t4okT = jnp.moveaxis(ffd.t4ok, 0, -1)               # (j, k, l, i-type)
+    X = t4okT[types[:, None, None], ti_s[:, :, None], tle]  # (n, c, e, nso)
+    ioh = jax.nn.one_hot(ti_s, ffd.t4ok.shape[0], dtype=X.dtype)
+    exists4 = jnp.einsum("nax,ncex->nace", ioh, X,
+                         preferred_element_type=X.dtype) > 0.5
+    mask4 = mask4 & exists4
     return mask4, sslot, svalid
 
 
@@ -622,7 +891,7 @@ def e_4body(pos, H, types, img, nbrs, bo: BondOrder, amask, gid,
     pose = ext_positions(pos, H, img)
     maskp = bo.mask
     idx = jnp.where(maskp, nbrs.idxb, 0)
-    oj = img.owner[idx]                     # (n, kb) neighbor owners
+    oj = img.owner_of(idx)                     # (n, kb) neighbor owners
     bo0 = bo.bo[..., 0]
     esub = units.CUTOF2_ESUB
 
@@ -649,9 +918,13 @@ def e_4body(pos, H, types, img, nbrs, bo: BondOrder, amask, gid,
     idx_k = idx[row, c]
     idx_l = jnp.where(maskp, nbrs.idxb, 0)[ok, e]
     shk = img.shift[idx_k]                             # (n, cap, 3)
-    t4 = ffd.inxn4[types[img.owner[idx_i]], tj[:, None], types[ok],
-                   types[img.owner[idx_l]]]
+    t4 = ffd.inxn4[types[img.owner_of(idx_i)], tj[:, None], types[ok],
+                   types[img.owner_of(idx_l)]]
     t4 = jnp.where(valid & (t4 >= 0), t4, 0)
+    # all 9 torsion-type params in one packed row gather
+    tp = ffd.torprm[t4]                                # (n, cap, 9)
+    (V1_, V2_, V3_, ptor1_, ptor2_, ptor3_, ptor4_, pcot1_,
+     pcot2_) = [tp[..., k] for k in range(9)]
 
     pos_i = pose[idx_i]
     pos_k = pose[idx_k]
@@ -680,26 +953,26 @@ def e_4body(pos, H, types, img, nbrs, bo: BondOrder, amask, gid,
     boij_s = _safe(boij, valid, 1.0)
     bojk_s = _safe(bojk, valid, 1.0)
     bokl_s = _safe(bokl, valid, 1.0)
-    exp_tor2_ij = jnp.exp(-ffd.ptor2[t4] * boij_s)
-    exp_tor2_jk = jnp.exp(-ffd.ptor2[t4] * bojk_s)
-    exp_tor2_kl = jnp.exp(-ffd.ptor2[t4] * bokl_s)
+    exp_tor2_ij = jnp.exp(-ptor2_ * boij_s)
+    exp_tor2_jk = jnp.exp(-ptor2_ * bojk_s)
+    exp_tor2_kl = jnp.exp(-ptor2_ * bokl_s)
     dajk = delta_ang[:, None] + delta_ang[ok]
-    exp_tor3 = jnp.exp(-ffd.ptor3[t4] * dajk)
-    exp_tor4 = jnp.exp(ffd.ptor4[t4] * dajk)
+    exp_tor3 = jnp.exp(-ptor3_ * dajk)
+    exp_tor4 = jnp.exp(ptor4_ * dajk)
     fn10 = (1.0 - exp_tor2_ij) * (1.0 - exp_tor2_jk) * (1.0 - exp_tor2_kl)
     fn11 = (2.0 + exp_tor3) / (1.0 + exp_tor3 + exp_tor4)
-    fn12 = jnp.exp(-ffd.pcot2[t4] * ((boij_s - 1.5) ** 2
-                                     + (bojk_s - 1.5) ** 2
-                                     + (bokl_s - 1.5) ** 2))
+    fn12 = jnp.exp(-pcot2_ * ((boij_s - 1.5) ** 2
+                              + (bojk_s - 1.5) ** 2
+                              + (bokl_s - 1.5) ** 2))
     # uses the raw pi BO of the j-k bond (ref: pot.F90:1102 remark)
     btb2 = 2.0 - bo_pi_jk - fn11
-    exp_tor1 = jnp.exp(ffd.ptor1[t4] * btb2 * btb2)
+    exp_tor1 = jnp.exp(ptor1_ * btb2 * btb2)
 
     petors = 0.5 * fn10 * sin_ijk * sin_jkl * (
-        ffd.V1[t4] * (1.0 + cos_w)
-        + ffd.V2[t4] * exp_tor1 * (1.0 - cos_2w)
-        + ffd.V3[t4] * (1.0 + cos_3w))
-    peconj = (ffd.pcot1[t4] * fn12
+        V1_ * (1.0 + cos_w)
+        + V2_ * exp_tor1 * (1.0 - cos_2w)
+        + V3_ * (1.0 + cos_3w))
+    peconj = (pcot1_ * fn12
               * (1.0 + (cos_w * cos_w - 1.0) * sin_ijk * sin_jkl))
 
     return (jnp.sum(jnp.where(valid, petors, 0.0)),
@@ -707,12 +980,15 @@ def e_4body(pos, H, types, img, nbrs, bo: BondOrder, amask, gid,
 
 
 def e_hbond(pos, H, types, img, nbrs, bo: BondOrder, amask, ffd: FFDev,
-            cap: int = 64, kh: int = 6):
+            cap: int = 64, kh: int = 6, ctx: NbCtx = None):
     """Hydrogen bond energy (ref: pot.F90:587-665).
 
     Donor heavy atom i (resident), central hydrogen j (bonded to i),
     acceptor k from i's nonbonded list within rchb.  Valid (j-slot, k-slot)
     pairs per donor are compacted into a per-atom list of capacity `cap`.
+    With `ctx`, acceptor type/distance data is reused from the shared pair
+    context and the (n, kh, knb) acceptor-type test becomes a one-hot MXU
+    contraction instead of a ~10M-element table gather.
     """
     if ffd.r0hb.shape[0] == 0:
         return jnp.asarray(0.0, pos.dtype)
@@ -724,7 +1000,7 @@ def e_hbond(pos, H, types, img, nbrs, bo: BondOrder, amask, ffd: FFDev,
     masknb = nbrs.masknb
     idxnb = jnp.where(masknb, nbrs.idxnb, 0)
 
-    tj = types[img.owner[idxb]]                        # (n, kb)
+    tj = types[img.owner_of(idxb)]                        # (n, kb)
     bo0_sg = jax.lax.stop_gradient(bo.bo[..., 0])
     mask_ij = (maskb & (tj == ffd.h_type) & (bo0_sg > units.MINBO0)
                & amask[:, None])
@@ -735,12 +1011,46 @@ def e_hbond(pos, H, types, img, nbrs, bo: BondOrder, amask, ffd: FFDev,
     idx_h = idxb[row, hslot]                           # (n, kh)
     th = tj[row, hslot]
 
-    tk = types[img.owner[idxnb]]                       # (n, knb)
-    hb_full = ffd.inxn3hb[types[:, None, None],
-                          th[:, :, None], tk[:, None, :]]  # (n, kh, knb)
-    rik = pos[:, None, :] - pose[idxnb]                # (n, knb, 3)
-    rik2 = jax.lax.stop_gradient(jnp.sum(rik * rik, axis=-1))
-    mask = (hvalid[:, :, None] & masknb[:, None, :] & (hb_full >= 0)
+    if ctx is not None:
+        # ---- grid mode: evaluate directly on the (n, kh, knb) lanes.
+        # Compaction would save flops but every post-compaction gather on the
+        # mostly-empty (n, cap~350) padded list costs ~10-15 ms on TPU; the
+        # dense grid is pure VPU work (~10M lanes ≈ a few ms) plus one
+        # differentiable acceptor row gather shared across all H slots.
+        hbrow = ffd.hbok[types[:, None], th]           # (n, kh, nso) tiny
+        okt = jnp.einsum("nkc,nhc->nhk", ctx.tjoh, hbrow,
+                         preferred_element_type=hbrow.dtype) > 0.5
+        valid = (hvalid[:, :, None] & masknb[:, None, :] & okt
+                 & (idx_h[:, :, None] != idxnb[:, None, :])   # j != k
+                 & (ctx.dr2 < units.RCHB2)[:, None, :])
+        # per-lane params via one-hot contraction over the acceptor type
+        hbP = ffd.hbprm[ffd.inxn3hb[types[:, None], th]]   # (n, kh, nso, 4)
+        prm = jnp.einsum("nkc,nhcp->nhkp", ctx.tjoh, hbP,
+                         preferred_element_type=hbP.dtype)
+        r0 = jnp.where(valid & (prm[..., 0] > 0.0), prm[..., 0], 1.0)
+        phb1_, phb2_, phb3_ = prm[..., 1], prm[..., 2], prm[..., 3]
+
+        pose_j = pose[idx_h]                           # (n, kh, 3) small
+        pose_k = pose[idxnb]                           # (n, knb, 3) one row
+        rij = pos[:, None, :] - pose_j                 # (n, kh, 3)
+        rjk = pose_j[:, :, None, :] - pose_k[:, None, :, :]  # (n,kh,knb,3)
+        cos_ijk, _, njk = _angle_cos(rij[:, :, None, :], rjk, valid)
+        sin_xhz4 = ((1.0 - cos_ijk) * 0.5) ** 2        # sin^4(theta/2)
+
+        bo_ij = bo.bo[..., 0][row, hslot]              # (n, kh)
+        exp_hb2 = jnp.exp(-phb2_ * bo_ij[:, :, None])
+        exp_hb3 = jnp.exp(-phb3_ * (r0 / njk + njk / r0 - 2.0))
+        pehb = phb1_ * (1.0 - exp_hb2) * exp_hb3 * sin_xhz4
+        return jnp.sum(jnp.where(valid, pehb, 0.0))
+
+    # ---- compacted mode (no shared ctx): per-donor padded pair list
+    tk_full = types[img.owner_of(idxnb)]               # (n, knb)
+    okt = ffd.inxn3hb[types[:, None, None],
+                      th[:, :, None], tk_full[:, None, :]] >= 0
+    rik = jax.lax.stop_gradient(pos)[:, None, :] - \
+        jax.lax.stop_gradient(pose)[idxnb]
+    rik2 = jnp.sum(rik * rik, axis=-1)
+    mask = (hvalid[:, :, None] & masknb[:, None, :] & okt
             & (idx_h[:, :, None] != idxnb[:, None, :])  # j != k
             & (rik2 < units.RCHB2)[:, None, :])
 
@@ -748,11 +1058,13 @@ def e_hbond(pos, H, types, img, nbrs, bo: BondOrder, amask, ffd: FFDev,
     b_slot = hslot[row, s // knb]
     k_slot = s % knb
 
-    hbt = ffd.inxn3hb[types[:, None], tj[row, b_slot],
-                      tk[row, k_slot]]
-    hbt = jnp.where(valid & (hbt >= 0), hbt, 0)
     idx_j = idxb[row, b_slot]
     idx_k = idxnb[row, k_slot]
+    tk_sel = types[img.owner_of(idx_k)]                # (n, cap) small
+    hbt = ffd.inxn3hb[types[:, None], tj[row, b_slot], tk_sel]
+    hbt = jnp.where(valid & (hbt >= 0), hbt, 0)
+    hp = ffd.hbprm[hbt]                                # (n, cap, 4): one row
+    r0, phb1_, phb2_, phb3_ = [hp[..., k] for k in range(4)]
     bo_ij = bo.bo[..., 0][row, b_slot]
 
     rij = pos[:, None, :] - pose[idx_j]                # (n, cap, 3)
@@ -760,10 +1072,10 @@ def e_hbond(pos, H, types, img, nbrs, bo: BondOrder, amask, ffd: FFDev,
     cos_ijk, _, njk = _angle_cos(rij, rjk, valid)
     sin_xhz4 = ((1.0 - cos_ijk) * 0.5) ** 2            # sin^4(theta/2)
 
-    exp_hb2 = jnp.exp(-ffd.phb2[hbt] * bo_ij)
-    r0 = ffd.r0hb[hbt]
-    exp_hb3 = jnp.exp(-ffd.phb3[hbt] * (r0 / njk + njk / r0 - 2.0))
-    pehb = ffd.phb1[hbt] * (1.0 - exp_hb2) * exp_hb3 * sin_xhz4
+    exp_hb2 = jnp.exp(-phb2_ * bo_ij)
+    r0 = jnp.where(valid & (r0 > 0.0), r0, 1.0)
+    exp_hb3 = jnp.exp(-phb3_ * (r0 / njk + njk / r0 - 2.0))
+    pehb = phb1_ * (1.0 - exp_hb2) * exp_hb3 * sin_xhz4
     return jnp.sum(jnp.where(valid, pehb, 0.0))
 
 
@@ -781,7 +1093,7 @@ def e_nonbond(pos, q, H, types, img, nbrs, gid, amask, ffd: FFDev):
     pose = ext_positions(pos, H, img)
     masknb = nbrs.masknb
     idx = jnp.where(masknb, nbrs.idxnb, 0)
-    oj = img.owner[idx]
+    oj = img.owner_of(idx)
     # each unordered (image) pair counted once (ref: pot.F90:715 jid<iid)
     mask = masknb & (gid[oj] < gid[:, None]) & amask[:, None]
 
@@ -806,48 +1118,6 @@ def e_nonbond(pos, q, H, types, img, nbrs, gid, amask, ffd: FFDev):
     return evdw, eclmb, echarge
 
 
-def nonbond_energy_forces(pos, q, H, types, img, nbrs, gid, amask,
-                          ffd: FFDev):
-    """van der Waals + Coulomb energies AND explicit forces from the
-    derivative tables (ref: pot.F90:736-761, TBL_*( 1,...) columns).
-
-    Enumerates every *directed* pair once and accumulates the force on the
-    row atom only — no scatter in the backward pass, the reaction force
-    arrives via the mirrored entry.  Energies carry a 0.5 factor;
-    self-image pairs are excluded entirely, matching the reference's strict
-    jid<iid rule (pot.F90:715).
-    """
-    pose = ext_positions(pos, H, img)
-    masknb = nbrs.masknb
-    idx = jnp.where(masknb, nbrs.idxnb, 0)
-    oj = img.owner[idx]
-    mask = masknb & (gid[oj] != gid[:, None]) & amask[:, None]
-
-    dr = pos[:, None, :] - pose[idx]
-    dr2 = jnp.sum(dr * dr, axis=-1)
-    mask = mask & (dr2 <= ffd.rctap2)
-    b = ffd.inxn2[types[:, None], types[oj]]
-    bc = jnp.where(b >= 0, b, 0)
-
-    qq = q[:, None] * jnp.where(mask, q[oj], 0.0)
-    pevdw = _table_lerp(ffd.tbl_evdw, bc, dr2, ffd.udr, ffd.udri, mask)
-    peclmb = _table_lerp(ffd.tbl_eclmb, bc, dr2, ffd.udr, ffd.udri, mask) * qq
-    cevdw = _table_lerp(ffd.tbl_devdw, bc, dr2, ffd.udr, ffd.udri, mask)
-    ceclmb = _table_lerp(ffd.tbl_declmb, bc, dr2, ffd.udr, ffd.udri, mask) * qq
-
-    w = mask
-    evdw = 0.5 * jnp.sum(jnp.where(w, pevdw, 0.0))
-    eclmb = 0.5 * jnp.sum(jnp.where(w, peclmb, 0.0))
-    ff = jnp.where(w, cevdw + ceclmb, 0.0)[..., None] * dr
-    f = -jnp.sum(ff, axis=1)
-
-    echarge = jnp.sum(jnp.where(
-        amask,
-        units.CECHRGE * (ffd.chi[types] * q + 0.5 * ffd.eta[types] * q * q),
-        0.0))
-    return evdw, eclmb, echarge, f
-
-
 def e_nonbond_pqeq(pos, spos, q, H, types, img, nbrs, gid, amask, ffd: FFDev,
                    pq):
     """van der Waals + 4-term core/shell Coulomb + charge/shell self-energy
@@ -857,7 +1127,7 @@ def e_nonbond_pqeq(pos, spos, q, H, types, img, nbrs, gid, amask, ffd: FFDev,
     spose = spos[img.owner]
     masknb = nbrs.masknb
     idx = jnp.where(masknb, nbrs.idxnb, 0)
-    oj = img.owner[idx]
+    oj = img.owner_of(idx)
     mask = masknb & (gid[oj] < gid[:, None]) & amask[:, None]
 
     dr = pos[:, None, :] - pose[idx]
@@ -914,7 +1184,7 @@ DEFAULT_CAPS = {"ang": 16, "tor": 48, "hb": 64, "ks": 12, "kh": 6}
 
 def energy_components(pos, q, H, types, gid, img: ImageTable,
                       nbrs: Neighbors, ffd: FFDev, amask=None, caps=None,
-                      pq=None, spos=None, include_nonbond=True):
+                      pq=None, spos=None, include_nonbond=True, ctx=None):
     """All potential-energy components as a (14,) vector using the
     reference's PE slot convention (ref: module.F90:143-146):
       0=total 1=Ebond 2=Elp 3=Eover 4=Eunder 5=Eval 6=Epen 7=Ecoa
@@ -924,6 +1194,8 @@ def energy_components(pos, q, H, types, gid, img: ImageTable,
     caps = {**DEFAULT_CAPS, **(caps or {})}
     if amask is None:
         amask = jnp.ones(pos.shape[0], dtype=bool)
+    if ctx is None:
+        ctx = nb_ctx(pos, q, H, types, img, nbrs, gid, amask, ffd)
     bo = bond_order(pos, H, types, img, nbrs, ffd)
     lp = lone_pair(types, bo.delta, ffd)
 
@@ -934,7 +1206,7 @@ def energy_components(pos, q, H, types, gid, img: ImageTable,
     etors, econj = e_4body(pos, H, types, img, nbrs, bo, amask, gid, ffd,
                            cap=caps["tor"], ks=caps["ks"])
     ehb = e_hbond(pos, H, types, img, nbrs, bo, amask, ffd, cap=caps["hb"],
-                  kh=caps["kh"])
+                  kh=caps["kh"], ctx=ctx)
     if not include_nonbond:
         z = jnp.zeros_like(ebond)
         evdw = eclmb = echarge = z
@@ -959,28 +1231,45 @@ def total_energy(pos, q, H, types, gid, img, nbrs, ffd, amask=None,
 
 
 def energy_and_forces(pos, q, H, types, gid, img, nbrs, ffd, amask=None,
-                      caps=None, pq=None, spos=None, fast_nonbond=True):
+                      caps=None, pq=None, spos=None, fast_nonbond=True,
+                      closed_form=None):
     """(PE components, forces).
 
     Bonded forces are exact -dE/dpos via autodiff; the ghost-force reduction
     (reference MODE_CPBK, comm.F90:74-78) happens automatically in the
     backward pass of the ghost-position gather.  With `fast_nonbond` (QEq
-    path only) the nonbonded term uses the tabulated derivative columns with
+    path only) the nonbonded term uses the analytic derivative columns with
     row-only force accumulation — exactly the reference's force expression
-    (pot.F90:736-761) and roughly half the gather/scatter traffic."""
+    (pot.F90:736-761) and roughly half the gather/scatter traffic.
+
+    `closed_form` selects the analytic nonbond kernels vs the reference's
+    interpolation tables.  Both ride the shared pair context; the packed
+    tables are bit-identical to the reference's interpolation AND fast (two
+    row gathers), so they are the default.  The closed form is the exact
+    analytic kernel — physically cleaner, but it differs from the golden
+    trace by the reference table's own interpolation error (~2e-3/atom).
+    """
     use_fast = fast_nonbond and pq is None
+    if closed_form is None:
+        closed_form = False
+    if amask is None:
+        amask = jnp.ones(pos.shape[0], dtype=bool)
+    ctx = nb_ctx(pos, q, H, types, img, nbrs, gid, amask, ffd)
 
     def etot(p):
         c = energy_components(p, q, H, types, gid, img, nbrs, ffd, amask,
-                              caps, pq, spos, include_nonbond=not use_fast)
+                              caps, pq, spos, include_nonbond=not use_fast,
+                              ctx=ctx)
         return c[0], c
     (_, comps), grad = jax.value_and_grad(etot, has_aux=True)(pos)
     f = -grad
     if use_fast:
-        evdw, eclmb, echarge, f_nb = nonbond_energy_forces(
-            pos, q, H, types, img, nbrs, gid,
-            amask if amask is not None else jnp.ones(pos.shape[0], bool),
-            ffd)
+        if closed_form:
+            evdw, eclmb, echarge, f_nb = nonbond_cf_energy_forces(
+                ctx, q, types, amask, ffd)
+        else:
+            evdw, eclmb, echarge, f_nb = nonbond_tbl_energy_forces(
+                ctx, q, types, amask, ffd)
         comps = comps.at[11].set(evdw).at[12].set(eclmb).at[13].set(echarge)
         comps = comps.at[0].set(jnp.sum(comps[1:]))
         f = f + f_nb
@@ -1014,7 +1303,7 @@ def term_counts(pos, H, types, gid, img, nbrs, ffd, amask=None):
     # hbond: H-neighbors of i times worst-case acceptors is loose; count
     # H-bonded slots and scale by a modest acceptor estimate
     idx = jnp.where(bo.mask, nbrs.idxb, 0)
-    is_h = (types[img.owner[idx]] == ffd.h_type) & bo.mask \
+    is_h = (types[img.owner_of(idx)] == ffd.h_type) & bo.mask \
         & (bo0 > units.MINBO0)
     h_slots = int(is_h.sum(axis=1).max())
     # exact hbond pair count per donor row, over the compacted H slots
@@ -1024,10 +1313,10 @@ def term_counts(pos, H, types, gid, img, nbrs, ffd, amask=None):
         hslot, hvalid, _ = _row_topk_slots(is_h, kh)
         row = jnp.arange(n)[:, None]
         idx_h = idx[row, hslot]
-        th = types[img.owner[idx_h]]
+        th = types[img.owner_of(idx_h)]
         pose = ext_positions(pos, H, img)
         idxnb = jnp.where(nbrs.masknb, nbrs.idxnb, 0)
-        tnb = types[img.owner[idxnb]]
+        tnb = types[img.owner_of(idxnb)]
         hbty = ffd.inxn3hb[types[:, None, None], th[:, :, None],
                            tnb[:, None, :]]
         rik = pos[:, None, :] - pose[idxnb]
