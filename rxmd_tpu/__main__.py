@@ -81,6 +81,10 @@ def main(argv=None):
                               or cfg.is_binary) else None)
     checkpoint.save(os.path.join(cfg.data_dir, "rxff.npz"), eng.state)
     refbin.write_rxff_bin(os.path.join(cfg.data_dir, "rxff.bin"), eng.state)
+    # per-phase timing / occupancy / memory report (ref: FinalizeMD
+    # main.F90:128-186)
+    for line in eng.summary():
+        print(line)
     print("rxmd-tpu successfully finished")
     return 0
 

@@ -70,6 +70,9 @@ class RunConfig:
                                  # way, so results are identical)
     spring_const: float = 0.0
     spring_types: tuple = ()
+    # run-profile file (ref: saveRunProfile/RunProfilePath module.F90:271-273)
+    save_run_profile: bool = False
+    run_profile_path: str = "profile.dat"
 
 
 def parse_rxmd_in(path: str, cfg: RunConfig = None) -> RunConfig:
@@ -138,6 +141,13 @@ def cli_parser() -> argparse.ArgumentParser:
     p.add_argument("--efield", nargs=2, default=None)
     p.add_argument("--spring", nargs="+", default=None)
     p.add_argument("--dtype", default=None)
+    p.add_argument("--vprocs", nargs=3, type=int, default=None)
+    p.add_argument("--isBinary", action="store_true")
+    p.add_argument("--isBondFile", action="store_true")
+    p.add_argument("--isPDB", action="store_true")
+    p.add_argument("--isXYZ", action="store_true")
+    p.add_argument("--saveRunProfile", action="store_true")
+    p.add_argument("--RunProfilePath", default=None)
     return p
 
 
@@ -161,4 +171,13 @@ def apply_cli(cfg: RunConfig, args) -> RunConfig:
     if getattr(args, "spring", None):
         cfg.spring_const = _f(args.spring[0])
         cfg.spring_types = tuple(int(t) - 1 for t in args.spring[1:])
+    if getattr(args, "vprocs", None):
+        cfg.vprocs = tuple(args.vprocs)
+    for flag, dst in (("isBinary", "is_binary"), ("isBondFile", "is_bondfile"),
+                      ("isPDB", "is_pdb"), ("isXYZ", "is_xyz"),
+                      ("saveRunProfile", "save_run_profile")):
+        if getattr(args, flag, False):
+            setattr(cfg, dst, True)
+    if getattr(args, "RunProfilePath", None):
+        cfg.run_profile_path = args.RunProfilePath
     return cfg

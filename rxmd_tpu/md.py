@@ -21,6 +21,7 @@ from . import units, qeq, reax, neighbors
 from .config import RunConfig
 from .ffield import ForceField
 from .system import State
+from .utils import Timers
 
 
 def _round_up(x, m):
@@ -170,6 +171,10 @@ class Engine:
         self._step = jax.jit(self._make_step())
         self._prepare = jax.jit(self._make_prepare())
         self._rebuild = jax.jit(self._make_rebuild())
+
+        # per-phase wall-clock accounting (ref: it_timer module.F90:215-217,
+        # FinalizeMD report main.F90:128-186)
+        self.timers = Timers()
 
     # ------------------------------------------------------------------
     def _tight_nbrs(self, pos, H, types, nbrs):
@@ -455,31 +460,64 @@ class Engine:
     def run(self, nsteps=None, log=print, writer=None):
         """Host driver loop (ref: main.F90:37-103)."""
         cfg = self.cfg
+        tm = self.timers
         nsteps = nsteps if nsteps is not None else cfg.ntime_step
         if not hasattr(self, "force"):
             if cfg.mdmode in (0, 6):
                 self.init_velocity()
-            self.prepare()
+            with tm("first force (compile)"):
+                self.prepare()
+        profile = None
+        if cfg.save_run_profile:
+            from .utils.timers import RunProfile
+            profile = RunProfile(cfg.run_profile_path, self.state.n)
         t0 = time.time()
         for k in range(nsteps):
             stepno = int(self.state.step)
             if cfg.mdmode in (0, 6) and stepno % cfg.sstep == 0 and k > 0:
                 # periodic Maxwell-Boltzmann redraw (ref: main.F90:53-54)
                 self.init_velocity(seed=stepno)
-            if stepno % cfg.pstep == 0 and log:
-                log(self.printe_line())
+            if stepno % cfg.pstep == 0:
+                nq = int(self.nqeq)
+                tm.count("QEq iterations", nq)
+                if log:
+                    with tm("PRINTE"):
+                        log(self.printe_line())
+                if profile is not None:
+                    profile.record(stepno, nq)
             if writer is not None and int(self.state.step) % cfg.fstep == 0:
-                writer(self.state, self.comps)
+                with tm("trajectory output"):
+                    writer(self.state, self.comps)
             if self._steps_since_rebuild >= self.rebuild_every:
-                self.state, self.nbrs = self._rebuild(self.state)
+                with tm("neighbor rebuild"):
+                    self.state, self.nbrs = self._rebuild(self.state)
+                tm.peak("bonded nbr list", int(self.nbrs.cntb.max()),
+                        self.kb)
+                tm.peak("nonbonded nbr list", int(self.nbrs.cntnb.max()),
+                        self.knb)
                 self._steps_since_rebuild = 0
-            out = self._step(self.state, self.force, self.nbrs)
+            with tm("MD step (dispatch)"):
+                out = self._step(self.state, self.force, self.nbrs)
             self.state, self.force, self.comps, self.nqeq, self._ke = out
             self._steps_since_rebuild += 1
+            tm.count("MD steps", 1)
         jax.block_until_ready(self.state.pos)
         wall = time.time() - t0
+        tm.add("MD loop (wall)", wall, nsteps)
+        if profile is not None:
+            profile.close()
         if log:
             log(self.printe_line())
             log(f"total (sec): {wall:.4f}  "
                 f"atom-steps/s: {self.state.n * nsteps / wall:.3e}")
         return wall
+
+    def summary(self):
+        """End-of-run per-phase timing / occupancy / memory report
+        (ref: FinalizeMD main.F90:128-186)."""
+        dev = None
+        try:
+            dev = self.state.pos.devices().pop()
+        except Exception:
+            pass
+        return self.timers.summary_lines(device=dev)

@@ -84,3 +84,23 @@ def test_write_frame_formats(tmp_path):
     assert len(rows) == 168
     counts = [len(b) for _, _, b in rows]
     assert max(counts) >= 3 and min(counts) >= 1
+
+
+@pytest.mark.slow
+def test_timers_and_run_profile(tmp_path):
+    """Per-phase timing table + run-profile file (ref: it_timer
+    module.F90:215-217, FinalizeMD main.F90:128-186, saveRunProfile
+    module.F90:271-273)."""
+    prof = tmp_path / "profile.dat"
+    ff, st, eng = _engine(mdmode=1, isQEq=2, ntime_step=4,
+                          save_run_profile=True,
+                          run_profile_path=str(prof))
+    eng.run(4, log=None)
+    lines = eng.summary()
+    text = "\n".join(lines)
+    assert "MD step (dispatch)" in text
+    assert "QEq iterations" in text
+    assert "first force (compile)" in text
+    body = prof.read_text().splitlines()
+    assert body[0].startswith("# step")
+    assert len(body) >= 2  # at least steps 0 and 2 recorded
