@@ -4,11 +4,23 @@ Used by __graft_entry__.dryrun_multichip — the driver runs this with N
 virtual CPU devices to validate that the full training step (spatial domain
 decomposition + halo exchange + QEq psum + grad-through-ppermute forces +
 migration) compiles and executes without N physical chips.
+
+Design constraints (learned from round 1, where the full-physics dryrun was
+killed on timeout): virtual CPU devices timeshare a couple of host cores, so
+the dryrun must be TINY — reduced cutoffs (rctap=5 A instead of 10,
+one bonded ghost layer instead of three), the single 168-atom RDX cell, and
+ONE compiled program (no separate prepare: the first step starts from zero
+force, exercising the identical step graph).  Exact-physics multi-device
+validation lives in tests/test_parallel.py (2-device golden match, the
+analog of the reference's examples/2-reaxff-dc check).
 """
+import time
+
 import numpy as np
 
 
 def run(n_devices: int) -> None:
+    t0 = time.time()
     import jax
     if len(jax.devices()) < n_devices:
         raise RuntimeError(
@@ -20,22 +32,26 @@ def run(n_devices: int) -> None:
     from rxmd_tpu.parallel.engine import ShardedEngine, factor_mesh
 
     mesh_shape = factor_mesh(n_devices)
-    # replicate the RDX cell so each subdomain is wider than the ghost skin
     ff = ffield.parse_ffield("/root/reference/ffield")
-    from rxmd_tpu.ffield import effective_maxrc
-    # choose replication so local box >= skin on every axis
-    base = np.array([13.18, 11.57, 10.71])
-    skin = max(3 * 3.16, 10.0) + 0.3      # match ShardedEngine's skin rule
-    mc = tuple(int(np.ceil(skin * m / b)) for m, b in zip(mesh_shape, base))
     st = system.from_cellfile("/root/reference/conf/init.rdx/input.xyz",
-                              ff.name_to_type, mc=mc, dtype=jnp.float32)
+                              ff.name_to_type, dtype=jnp.float32)
+    # extended-Lagrangian charges (isQEq=2): one CG iteration per step —
+    # the reference's scaling configuration (conf/bg-bench/rxmd.in)
     cfg = RunConfig(mdmode=1, dt_fs=0.25, isQEq=2, qstep=1, dtype="float32")
     eng = ShardedEngine(ff, st, cfg, mesh_shape=mesh_shape,
-                        devices=jax.devices()[:n_devices])
-    comps = eng.prepare()
+                        devices=jax.devices()[:n_devices],
+                        rctap=5.0, skin_layers=1.0)
+    print(f"[dryrun +{time.time()-t0:.0f}s] engine built: mesh={mesh_shape} "
+          f"atoms={st.n} ncap={eng.ncap} mext={eng.mext}", flush=True)
+    # one compiled program: the full training step from zero initial force
+    eng.force = jnp.zeros((eng.sstate.frac.shape[0], 3), eng.dtype)
     eng.run(1)
     pe = float(eng.comps[0]) / st.n
     ke = float(eng.ke) / st.n
-    print(f"dryrun ok: mesh={mesh_shape} atoms={st.n} "
-          f"PE/atom={pe:.4f} KE/atom={ke:.3e} nqeq={int(eng.nqeq)}")
-    assert np.isfinite(pe)
+    n_after = eng.n_atoms
+    print(f"[dryrun +{time.time()-t0:.0f}s] step done: PE/atom={pe:.4f} "
+          f"KE/atom={ke:.3e} nqeq={int(eng.nqeq)} atoms={n_after}",
+          flush=True)
+    assert np.isfinite(pe), "non-finite energy"
+    assert np.isfinite(ke), "non-finite kinetic energy"
+    assert n_after == st.n, f"atom count changed: {n_after} != {st.n}"

@@ -110,7 +110,8 @@ class ShardedEngine:
 
     def __init__(self, ff: ForceField, state: State, cfg: RunConfig,
                  mesh_shape=None, devices=None, dtype=None,
-                 ncap=None, bcap=None, mcap=64):
+                 ncap=None, bcap=None, mcap=64, rctap=None,
+                 skin_layers=3.0):
         self.ff = ff
         self.cfg = cfg
         self.dtype = dtype or jnp.dtype(cfg.dtype)
@@ -125,7 +126,12 @@ class ShardedEngine:
         if cfg.isPQEq:
             raise NotImplementedError(
                 "PQEq is currently single-device only; use md.Engine")
-        rctap = units.RCTAP0
+        # rctap/skin_layers are engineering knobs: rctap < RCTAP0 truncates
+        # the nonbonded/QEq cutoff, skin_layers < 3 truncates the bonded
+        # ghost dependency chain — exact physics requires the defaults;
+        # reduced values are for compile/execution validation on tiny
+        # virtual-device meshes (the driver's dryrun).
+        rctap = units.RCTAP0 if rctap is None else float(rctap)
         self.ffd = reax.ffdev_from(ff, dtype=self.dtype, rctap=rctap)
         self.state0 = state.astype(self.dtype)
         H = np.asarray(state.H)
@@ -139,7 +145,7 @@ class ShardedEngine:
         # (resident energy -> BO(k,l) with l at 2rc -> deltap(l) needing
         # positions at 3rc); the taper cutoff covers nonbonded/QEq.
         # (The reference uses NMINCELL cell layers, pot.F90:28.)
-        skin = max(3.0 * maxrc, rctap) + 0.3
+        skin = max(float(skin_layers) * maxrc, rctap) + 0.3
         self.skin = skin
         local = L / np.asarray(mesh_shape)
         if (local < skin).any() and max(mesh_shape) > 1:
@@ -157,7 +163,7 @@ class ShardedEngine:
             grow = np.prod(1 + 2 * skin / local) - 1.0
             bcap = int(np.ceil(ncap * max(grow, 1.0) / 3.0)) + 32
         self.bcap = bcap
-        self.mcap = mcap
+        self.mcap = min(mcap, ncap)
         self.spec = halo.HaloSpec(
             axes=("x", "y", "z"), mesh_shape=self.mesh_shape,
             skin_frac=tuple(skin / L), ncap=ncap, bcap=bcap)

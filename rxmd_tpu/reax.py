@@ -259,6 +259,26 @@ def _powm(x, p, mask):
     return jnp.where(mask, _safe(x, mask) ** p, 0.0)
 
 
+# Overflow-safe exponentials for delta-dependent terms.  Padding rows in the
+# fixed-capacity sharded layout (and outermost halo ghosts with truncated
+# neighbor lists) carry delta ~= -Val; with e.g. vpar1=50 the reference's
+# unguarded exp (bo.F90:156-217) would evaluate exp(200) there — finite in the
+# reference's f64, but +inf in f32, which poisons every gradient through
+# masked lanes (inf * 0 = NaN).  The clamp at +-85 (exp(85)=8.2e36 < f32 max)
+# is a no-op for every physically reachable argument, so f64 golden traces
+# are unchanged.
+_EXP_CAP = 85.0
+
+
+def _exp(x):
+    return jnp.exp(jnp.clip(x, -_EXP_CAP, _EXP_CAP))
+
+
+def _logistic(u):
+    """1/(1+exp(u)) via sigmoid: overflow-free forward AND backward."""
+    return jax.nn.sigmoid(-u)
+
+
 # ----------------------------------------------------------------------------
 # Shared nonbonded pair context.
 #
@@ -504,10 +524,10 @@ def bond_order(pos, H, types, img: ImageTable, nbrs: Neighbors,
     # --- corrected BO (ref: bo.F90:156-217)
     d1i = deltap1[:, None]
     d1j = deltap1[oj]
-    e1i = jnp.exp(-ffd.vpar1 * d1i)
-    e1j = jnp.exp(-ffd.vpar1 * d1j)
-    e2i = jnp.exp(-ffd.vpar2 * d1i)
-    e2j = jnp.exp(-ffd.vpar2 * d1j)
+    e1i = _exp(-ffd.vpar1 * d1i)
+    e1j = _exp(-ffd.vpar1 * d1j)
+    e2i = _exp(-ffd.vpar2 * d1i)
+    e2j = _exp(-ffd.vpar2 * d1j)
     fn2 = e1i + e1j
     fn3 = (-1.0 / ffd.vpar2) * jnp.log(0.5 * (e2i + e2j))
     fn23 = fn2 + fn3
@@ -519,8 +539,8 @@ def bond_order(pos, H, types, img: ImageTable, nbrs: Neighbors,
     bopsqr = bop0 * bop0
     u4 = -ffd.pboc3[b] * (ffd.pboc4[b] * bopsqr - deltap2[:, None]) + ffd.pboc5[b]
     u5 = -ffd.pboc3[b] * (ffd.pboc4[b] * bopsqr - deltap2[oj]) + ffd.pboc5[b]
-    fn4 = 1.0 / (1.0 + jnp.exp(u4))
-    fn5 = 1.0 / (1.0 + jnp.exp(u5))
+    fn4 = _logistic(u4)
+    fn5 = _logistic(u5)
     no_v13 = ffd.v13cor[b] < 1e-3
     fn4 = jnp.where(no_v13, 1.0, fn4)
     fn5 = jnp.where(no_v13, 1.0, fn5)
@@ -609,16 +629,15 @@ def e_lnpr(types, img, nbrs, bo: BondOrder, lp: LonePair, amask,
         jnp.where(bo.mask, dmdlp_j * (bo.bo[..., 2] + bo.bo[..., 3]), 0.0),
         axis=1)
 
-    expvd2 = jnp.exp(-75.0 * lp.deltalp)
-    pelp = ffd.plp2[t] * lp.deltalp / (1.0 + expvd2)
+    pelp = ffd.plp2[t] * lp.deltalp * _logistic(-75.0 * lp.deltalp)
 
-    expovun1 = ffd.povun3[t] * jnp.exp(ffd.povun4[t] * sum_ovun2)
+    expovun1 = ffd.povun3[t] * _exp(ffd.povun4[t] * sum_ovun2)
     deltalpcorr = bo.delta - lp.deltalp / (1.0 + expovun1)
-    expovun2 = jnp.exp(ffd.povun2[t] * deltalpcorr)
+    expovun2 = _exp(ffd.povun2[t] * deltalpcorr)
     dlpv = 1.0 / (deltalpcorr + ffd.Val[t] + 1e-8)
-    expovun2n = 1.0 / expovun2
-    expovun6 = jnp.exp(ffd.povun6[t] * deltalpcorr)
-    expovun8 = ffd.povun7[t] * jnp.exp(ffd.povun8[t] * sum_ovun2)
+    expovun2n = _exp(-ffd.povun2[t] * deltalpcorr)
+    expovun6 = _exp(ffd.povun6[t] * deltalpcorr)
+    expovun8 = ffd.povun7[t] * _exp(ffd.povun8[t] * sum_ovun2)
 
     peover = sum_ovun1 * dlpv * deltalpcorr / (1.0 + expovun2)
     peunder = (-ffd.povun5[t] * (1.0 - expovun6)
@@ -755,8 +774,8 @@ def e_3body(pos, H, types, img, nbrs, bo: BondOrder, lp: LonePair, amask,
     fn7ij = 1.0 - jnp.exp(-pv3j * _powm(boij_s, pv4, valid))
     fn7jk = 1.0 - jnp.exp(-pv3j * _powm(bojk_s, pv4, valid))
     da = delta_ang[:, None]
-    exp6 = jnp.exp(pval6_ * da)
-    exp7 = jnp.exp(-pval7_ * da)
+    exp6 = _exp(pval6_ * da)
+    exp7 = _exp(-pval7_ * da)
     trm8 = 1.0 + exp6 + exp7
     pv5j = ffd.pval5[tj][:, None]
     fn8j = pv5j - (pv5j - 1.0) * (2.0 + exp6) / trm8
@@ -780,8 +799,8 @@ def e_3body(pos, H, types, img, nbrs, bo: BondOrder, lp: LonePair, amask,
 
     # --- PEpen (ref: pot.F90:460-466)
     dj = bo.delta[:, None]
-    exp_pen3 = jnp.exp(-ppen3_ * dj)
-    exp_pen4 = jnp.exp(ppen4_ * dj)
+    exp_pen3 = _exp(-ppen3_ * dj)
+    exp_pen4 = _exp(ppen4_ * dj)
     fn9 = (2.0 + exp_pen3) / (1.0 + exp_pen3 + exp_pen4)
     pepen = (ppen1_ * fn9
              * jnp.exp(-ppen2_ * (boij - 2.0) ** 2)
@@ -791,7 +810,7 @@ def e_3body(pos, H, types, img, nbrs, bo: BondOrder, lp: LonePair, amask,
     dv = bo.delta[img.owner_of(idx_i)] + ffd.Val[types[img.owner_of(idx_i)]]
     dk = bo.delta[img.owner_of(idx_k)] + ffd.Val[types[img.owner_of(idx_k)]]
     delta_val = (bo.delta + ffd.Val[tj] - ffd.Valval[tj])[:, None]
-    pecoa = (pcoa1_ / (1.0 + jnp.exp(pcoa2_ * delta_val))
+    pecoa = (pcoa1_ * _logistic(pcoa2_ * delta_val)
              * jnp.exp(-pcoa3_ * (-boij + dv) ** 2)
              * jnp.exp(-pcoa3_ * (-bojk + dk) ** 2)
              * jnp.exp(-pcoa4_ * (boij - 1.5) ** 2)
@@ -957,8 +976,8 @@ def e_4body(pos, H, types, img, nbrs, bo: BondOrder, amask, gid,
     exp_tor2_jk = jnp.exp(-ptor2_ * bojk_s)
     exp_tor2_kl = jnp.exp(-ptor2_ * bokl_s)
     dajk = delta_ang[:, None] + delta_ang[ok]
-    exp_tor3 = jnp.exp(-ptor3_ * dajk)
-    exp_tor4 = jnp.exp(ptor4_ * dajk)
+    exp_tor3 = _exp(-ptor3_ * dajk)
+    exp_tor4 = _exp(ptor4_ * dajk)
     fn10 = (1.0 - exp_tor2_ij) * (1.0 - exp_tor2_jk) * (1.0 - exp_tor2_kl)
     fn11 = (2.0 + exp_tor3) / (1.0 + exp_tor3 + exp_tor4)
     fn12 = jnp.exp(-pcot2_ * ((boij_s - 1.5) ** 2
