@@ -59,10 +59,34 @@ class RunConfig:
     dtype: str = "float64"       # validation default; use float32 on TPU
     kb_cap: int = 0              # 0 = auto-size from first neighbor build
     knb_cap: int = 0
-    nbr_skin: float = 1.0        # Verlet skin [A] added to list cutoffs
-    rebuild_every: int = 20      # neighbor-list rebuild cadence [steps];
-                                 # safe while max drift < skin/2 (thermal
-                                 # drift at 300K is ~5e-3 A/step at dt=0.25fs)
+    nbr_skin: float = 0.2        # Verlet skin [A] added to list cutoffs.
+                                 # Small by design: the drift monitor
+                                 # rebuilds lists when max displacement
+                                 # exceeds skin/2, so a small skin trades
+                                 # slightly more frequent rebuilds (~16
+                                 # steps at 300K) for ~1.4x smaller pair
+                                 # lists in every per-step kernel
+    rebuild_every: int = 20      # neighbor-list rebuild cadence CAP [steps];
+                                 # the drift monitor usually triggers first
+    term_slack: float = 0.1      # many-body list cache: BO-gate thresholds
+                                 # are multiplied by this at list build so
+                                 # near-threshold interactions stay listed
+                                 # while BOs drift between rebuilds
+    term_margin: float = 0.0     # [A] geometric margin past the sigma-bond
+                                 # cutoff for list candidates (bonds that
+                                 # could form before the next rebuild).
+                                 # 0 (default): new-bond crossings are
+                                 # picked up at the next rebuild; the
+                                 # transient omission is bounded by
+                                 # ~1e-4 kcal/mol/atom (a leg entering rc
+                                 # has BO <~ 1e-3 for the <=rebuild_every
+                                 # steps it can stay unlisted).  >0 lists
+                                 # candidate bonds geometrically — exact
+                                 # under drift<margin/2 but inflates the
+                                 # torsion capacity ~10-20x.
+    term_cache: bool = True      # cache angle/torsion lists on the rebuild
+                                 # cadence (False = reference per-step
+                                 # enumeration semantics, bit-exact)
     tighten_lists: bool = False  # per-step compaction of skinned lists to
                                  # the true cutoffs: saves ~1.4x in term
                                  # shapes but costs two top_k sorts per step

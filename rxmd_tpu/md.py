@@ -29,7 +29,8 @@ def _round_up(x, m):
 
 
 def probe_capacities(ff: ForceField, state: State, ffd, rctap, dtype,
-                     skin: float = 0.0):
+                     skin: float = 0.0, term_slack: float = 1.0,
+                     term_margin: float = 0.0):
     """Measure neighbor and interaction-list occupancies of a configuration
     on host CPU and derive padded static capacities (the analog of the
     reference's maxas headroom statistics, main.F90:128-146)."""
@@ -83,9 +84,10 @@ def probe_capacities(ff: ForceField, state: State, ffd, rctap, dtype,
         kb_t = _round_up(int(tight.cntb.max() * 1.3) + 2, 4)
         knb_t = min(_round_up(int(tight.cntnb.max() * 1.2) + 8, 64), 4096)
         tc = reax.term_counts(state.pos, state.H, state.types, state.gid,
-                              img, nbrs_skinned, ffd)
-    caps = {"ang": _round_up(int(tc["ang"] * 1.4) + 2, 4),
-            "tor": _round_up(int(tc["tor"] * 1.4) + 4, 8),
+                              img, nbrs_skinned, ffd, slack=term_slack,
+                              margin=term_margin)
+    caps = {"ang": _round_up(int(tc["ang"] * 1.3) + 64, 256),
+            "tor": _round_up(int(tc["tor"] * 1.3) + 64, 512),
             "hb": max(_round_up(int(tc["hb"] * 1.4) + 2, 4), 4),
             "ks": _round_up(tc["degmax"] + 2, 2),
             "kh": max(_round_up(tc.get("h_slots", 4) + 1, 2), 2),
@@ -153,11 +155,27 @@ class Engine:
         self.rc2b_ext = jnp.asarray(rcb_ext, self.dtype)
         self.rctap2_ext = jnp.asarray((rctap + self.skin) ** 2, self.dtype)
 
+        # many-body list caching: slackened gates at build, exact live gates
+        # at evaluate; staleness bounded by the drift-triggered rebuild.
+        # (Incompatible with per-step list tightening, which renumbers the
+        # neighbor slots the cached lists index into.)
+        self.term_cache = cfg.term_cache and not cfg.tighten_lists
+        self.term_slack = cfg.term_slack if self.term_cache else 1.0
+        self.term_margin = cfg.term_margin if self.term_cache else 0.0
         kb, knb, self.caps = probe_capacities(ff, self.state, self.ffd,
                                               rctap, self.dtype,
-                                              skin=self.skin)
+                                              skin=self.skin,
+                                              term_slack=self.term_slack,
+                                              term_margin=self.term_margin)
         self.kb = cfg.kb_cap or kb
         self.knb = cfg.knb_cap or knb
+        # rebuild trigger: pair lists are valid while drift < skin/2, cached
+        # term lists while drift < term_margin/2 (ref rebuilds every step,
+        # pot.F90:30-34; the monitor makes the reuse provably safe)
+        lim = self.skin
+        if self.term_cache and self.term_margin > 0.0:
+            lim = min(lim, self.term_margin)
+        self.drift_trigger = 0.5 * lim
 
         # spring restraints toward the initial configuration
         # (ref: SpringForce pot.F90:95-110, ipos init.F90:231-232)
@@ -231,10 +249,11 @@ class Engine:
             return res.q, q, jnp.zeros_like(qsfv), res.iters, spos
         return res.q, qsfp, qsfv, res.iters, spos
 
-    def _forces(self, pos, q, H, types, gid, nbrs, spos=None):
+    def _forces(self, pos, q, H, types, gid, nbrs, spos=None, lists=()):
         comps, f = reax.energy_and_forces(pos, q, H, types, gid, self.img,
                                           nbrs, self.ffd, caps=self.caps,
-                                          pq=self.pq, spos=spos)
+                                          pq=self.pq, spos=spos,
+                                          lists=lists or None)
         if self.cfg.isEfield:
             # constant-field force on core charges (ref: module.F90:359-383)
             qc = q
@@ -291,19 +310,35 @@ class Engine:
 
     # ------------------------------------------------------------------
     def _make_rebuild(self):
-        """Wrap positions into the box and rebuild the skinned neighbor
-        lists.  Called every `rebuild_every` steps; between rebuilds the
+        """Wrap positions into the box, rebuild the skinned neighbor lists,
+        and rebuild the cached many-body interaction lists (slackened gates;
+        see build_angle_list/build_torsion_list).  Called on the rebuild
+        cadence or when the drift monitor trips; between rebuilds the
         positions evolve unwrapped so the stale image assignments stay
         geometrically consistent."""
         def rebuild(s: State):
             pos = self._wrap(s.pos, s.H)
             nbrs = self._build_nbrs(pos, s.H, s.types)
-            return dataclasses.replace(s, pos=pos), nbrs
+            lists = ()
+            if self.term_cache:
+                bo = reax.bond_order(pos, s.H, s.types, self.img, nbrs,
+                                     self.ffd)
+                amask = jnp.ones(pos.shape[0], bool)
+                al = reax.build_angle_list(
+                    s.types, self.img, nbrs, bo, amask, self.ffd,
+                    cap=self.caps["ang"], ks=self.caps["ks"],
+                    slack=self.term_slack, margin=self.term_margin)
+                tl = reax.build_torsion_list(
+                    s.types, s.gid, self.img, nbrs, bo, amask, self.ffd,
+                    cap=self.caps["tor"], ks=self.caps["ks"],
+                    slack=self.term_slack, margin=self.term_margin)
+                lists = (al, tl)
+            return dataclasses.replace(s, pos=pos), nbrs, lists
         return rebuild
 
     def _make_prepare(self):
         """Initial QEq + FORCE before the main loop (ref: main.F90:27-32)."""
-        def prepare(s: State, nbrs):
+        def prepare(s: State, nbrs, lists):
             nbrs = self._tight_nbrs(s.pos, s.H, s.types, nbrs)
             # cold-start extended Lagrangian: one full CG solve to seed the
             # fictitious charge DOF (production restarts load qsfp from the
@@ -315,7 +350,7 @@ class Engine:
             if self.cfg.isQEq == 2:
                 qsfp, qsfv = q, jnp.zeros_like(qsfv)
             comps, f = self._forces(s.pos, q, s.H, s.types, s.gid, nbrs,
-                                    spos=spos)
+                                    spos=spos, lists=lists)
             s = dataclasses.replace(s, q=q, qsfp=qsfp, qsfv=qsfv, spos=spos)
             return s, f, comps, nq
         return prepare
@@ -324,7 +359,7 @@ class Engine:
         cfg = self.cfg
         dt = self.dt
 
-        def step(s: State, f, nbrs):
+        def step(s: State, f, nbrs, lists, pos_ref):
             do_scale = (s.step % cfg.sstep) == 0
             s = self._thermostat(s, do_scale)
 
@@ -345,17 +380,21 @@ class Engine:
                 lambda: (s.q, qsfp, qsfv, jnp.int32(0), s.spos))
 
             comps, f2 = self._forces(pos, q, s.H, s.types, s.gid, nbrs,
-                                     spos=spos)
+                                     spos=spos, lists=lists)
 
             # second half kick (ref: main.F90:97-98)
             v = v + self.dthm[s.types][:, None] * f2
             qsfv = qsfv + 0.5 * dt * self.lex_w2 * (q - qsfp)
 
             ke = jnp.sum(self.hmas[s.types] * jnp.sum(v * v, axis=1))
+            # Verlet-drift monitor: max displacement since the last rebuild
+            # bounds the validity of the skinned/cached lists (the safe
+            # analog of the reference's every-step rebuild, pot.F90:30-34)
+            maxdr2 = jnp.max(jnp.sum((pos - pos_ref) ** 2, axis=1))
             s2 = dataclasses.replace(
                 s, pos=pos, vel=v, q=q, qsfp=qsfp, qsfv=qsfv, spos=spos,
                 step=s.step + 1)
-            return s2, f2, comps, nq, ke
+            return s2, f2, comps, nq, ke, maxdr2
         return step
 
     # ------------------------------------------------------------------
@@ -391,10 +430,26 @@ class Engine:
             refbin.write_rxff_bin(base_path + ".bin", self.state)
 
     # ------------------------------------------------------------------
+    def _check_list_overflow(self):
+        """Abort on interaction-list overflow like the reference
+        (ref: main.F90:402-407); silent truncation is never acceptable."""
+        if self.tlists:
+            al, tl = self.tlists
+            na, nt = int(al.cnt), int(tl.cnt)
+            if na > al.valid.shape[0] or nt > tl.valid.shape[0]:
+                raise RuntimeError(
+                    f"interaction-list overflow: angles {na}/"
+                    f"{al.valid.shape[0]} torsions {nt}/{tl.valid.shape[0]}"
+                    " — raise caps (ref aborts too, main.F90:402-407)")
+            self.timers.peak("angle list", na, al.valid.shape[0])
+            self.timers.peak("torsion list", nt, tl.valid.shape[0])
+
     def prepare(self):
-        self.state, self.nbrs = self._rebuild(self.state)
+        self.state, self.nbrs, self.tlists = self._rebuild(self.state)
+        self._check_list_overflow()
+        self._pos_ref = self.state.pos
         self._steps_since_rebuild = 0
-        s, f, comps, nq = self._prepare(self.state, self.nbrs)
+        s, f, comps, nq = self._prepare(self.state, self.nbrs, self.tlists)
         self.state = s
         self.force = f
         self.comps = comps
@@ -409,7 +464,7 @@ class Engine:
         s = self.state
         nbrs = getattr(self, "nbrs", None)
         if nbrs is None:
-            self.state, self.nbrs = self._rebuild(self.state)
+            self.state, self.nbrs, self.tlists = self._rebuild(self.state)
             nbrs = self.nbrs
             s = self.state
         nbrs = self._tight_nbrs(s.pos, s.H, s.types, nbrs)
@@ -488,17 +543,31 @@ class Engine:
             if writer is not None and int(self.state.step) % cfg.fstep == 0:
                 with tm("trajectory output"):
                     writer(self.state, self.comps)
-            if self._steps_since_rebuild >= self.rebuild_every:
+            # drift check lags one step (reads the last *completed* step's
+            # monitor without stalling the async dispatch pipeline); the
+            # trigger at 0.4x the half-skin bound absorbs the lag
+            prev_dr2 = getattr(self, "_maxdr2_dev", None)
+            drifted = (prev_dr2 is not None
+                       and float(prev_dr2) ** 0.5 > 0.8 * self.drift_trigger)
+            if self._steps_since_rebuild >= self.rebuild_every or drifted:
+                if drifted:
+                    tm.count("drift-triggered rebuilds", 1)
                 with tm("neighbor rebuild"):
-                    self.state, self.nbrs = self._rebuild(self.state)
+                    self.state, self.nbrs, self.tlists = \
+                        self._rebuild(self.state)
+                self._check_list_overflow()
                 tm.peak("bonded nbr list", int(self.nbrs.cntb.max()),
                         self.kb)
                 tm.peak("nonbonded nbr list", int(self.nbrs.cntnb.max()),
                         self.knb)
+                self._pos_ref = self.state.pos
                 self._steps_since_rebuild = 0
+                self._maxdr2_dev = None
             with tm("MD step (dispatch)"):
-                out = self._step(self.state, self.force, self.nbrs)
-            self.state, self.force, self.comps, self.nqeq, self._ke = out
+                out = self._step(self.state, self.force, self.nbrs,
+                                 self.tlists, self._pos_ref)
+            (self.state, self.force, self.comps, self.nqeq, self._ke,
+             self._maxdr2_dev) = out
             self._steps_since_rebuild += 1
             tm.count("MD steps", 1)
         jax.block_until_ready(self.state.pos)

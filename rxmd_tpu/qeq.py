@@ -103,11 +103,13 @@ def solve(pos, q, qsfp, H, types, img: ImageTable, nbrs: Neighbors,
     est_w = jnp.where(resident_ext[idxnb], 1.0, 0.5)
     hz = jnp.where(mask, hess, 0.0)
 
-    # On a single shard with a long CG solve the sparse ELL matvec (a row
-    # gather per step) is gather-bound; fold the owner mapping into a dense
-    # matrix once and ride the MXU instead.  For 1-iteration extended-
-    # Lagrangian solves (isQEq=2) the ELL form beats the dense build.
-    dense = local_only and n <= 8192 and isqeq == 1
+    # On a single shard the sparse ELL matvec (a row gather per sweep) is
+    # gather-bound; fold the owner mapping into a dense matrix once and ride
+    # the MXU instead.  Even the 1-iteration extended-Lagrangian solve does
+    # ~4 neighborhood sweeps (initial gradient, H*h, pair energy, new
+    # gradient), so the single dense build (one scatter sweep) wins there
+    # too.  Memory caps the dense path at n <= 8192 (256 MB f32).
+    dense = local_only and n <= 8192
     if dense:
         row = jnp.broadcast_to(jnp.arange(n)[:, None], oj.shape)
         Hd = jnp.zeros((n, n), dtype).at[row, oj].add(hz)

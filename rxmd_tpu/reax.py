@@ -476,6 +476,8 @@ class BondOrder(NamedTuple):
     delta: jax.Array     # (N,) -Val + sum BO0   (ref: bo.F90:291-296)
     deltap1: jax.Array   # (N,) uncorrected Delta' (ref: bo.F90:41-45)
     mask: jax.Array      # (N, kb) pair validity (includes BO'>cutoff gate)
+    drb: jax.Array       # (N, kb, 3) r_center - r_neighbor, differentiable —
+                         # the shared geometry table for all many-body terms
 
 
 def bond_order(pos, H, types, img: ImageTable, nbrs: Neighbors,
@@ -560,7 +562,7 @@ def bond_order(pos, H, types, img: ImageTable, nbrs: Neighbors,
     bo = jnp.where(gate[..., None], bo, 0.0)
 
     delta = -ffd.Val[types] + jnp.sum(bo[..., 0], axis=1)
-    return BondOrder(bo=bo, delta=delta, deltap1=deltap1, mask=gate)
+    return BondOrder(bo=bo, delta=delta, deltap1=deltap1, mask=gate, drb=dr)
 
 
 # ----------------------------------------------------------------------------
@@ -701,67 +703,170 @@ def strong_slots(bo: BondOrder, ks: int):
     return sslot, svalid, cnt
 
 
-def e_3body(pos, H, types, img, nbrs, bo: BondOrder, lp: LonePair, amask,
-            ffd: FFDev, cap: int = 16, ks: int = 12):
-    """Valence angle + penalty + 3-body conjugation (ref: pot.F90:355-549).
+# ----------------------------------------------------------------------------
+# Many-body interaction lists: build / evaluate split.
+#
+# The reference enumerates valence-angle and torsion participants inside the
+# energy routines every step (ref: pot.F90:369-399, 1019-1081).  Here list
+# construction (integer slot selection, non-differentiable) is separated from
+# evaluation so the engine can CACHE the lists on the neighbor-rebuild
+# cadence: lists are built with *slackened* BO gates (thresholds scaled by
+# `slack` < 1) plus a geometric `margin` around the sigma-bond cutoff (bonds
+# that could form before the next rebuild), then re-gated EXACTLY with live
+# bond orders at evaluation.  With slack=1, margin=0 the list equals the
+# per-step enumeration and the energies are bit-identical to building fresh.
+# Staleness is bounded by the engine's drift-triggered rebuild (atoms may
+# move at most margin/2 between rebuilds), the same contract as the Verlet
+# skin on the pair lists.
+# ----------------------------------------------------------------------------
 
-    Unordered pairs of strong bonds of every resident center j are first
-    compacted into a per-atom padded angle list of capacity `cap` (built on
-    stop-gradient data), then the energy is evaluated per list entry —
-    O(N*cap) work instead of O(N*kb^2).
-    """
-    n, kb = nbrs.idxb.shape
-    ks = min(ks, kb)
-    pose = ext_positions(pos, H, img)
-    maskp = bo.mask
-    idx = jnp.where(maskp, nbrs.idxb, 0)
+def _flat_compact(mask_flat, cap):
+    """Pack the indices of True entries of a flat mask into a fixed-size
+    list, in index order (cumsum + scatter — O(S), no sort).  Returns
+    (idx (cap,), valid (cap,), count).  Entries past `cap` are dropped;
+    the caller surfaces cnt > cap as a capacity overflow."""
+    pos = jnp.cumsum(mask_flat) - 1
+    src = jnp.arange(mask_flat.shape[0], dtype=jnp.int32)
+    dst = jnp.where(mask_flat, pos, cap).astype(jnp.int32)
+    idx = jnp.zeros((cap,), jnp.int32).at[dst].set(src, mode="drop")
+    cnt = mask_flat.sum(dtype=jnp.int32)
+    valid = jnp.arange(cap) < cnt
+    return idx, valid, cnt
+
+
+class AngleList(NamedTuple):
+    """Flat valence-angle list: one entry per (center j, bond a, bond c).
+    Flat (not per-atom-padded) because interaction counts are very uneven
+    across atoms: padding to the per-atom max costs ~5-8x the total count."""
+    j: jax.Array        # (M,) center row
+    a: jax.Array        # (M,) slot of bond j-i in nbrs.idxb
+    c: jax.Array        # (M,) slot of bond j-k
+    oi: jax.Array       # (M,) owner row of i
+    ok: jax.Array       # (M,) owner row of k
+    valid: jax.Array    # (M,)
+    prm: jax.Array      # (M, 17) angle-type params (type-static)
+    cnt: jax.Array      # () true count (overflow check: cnt <= M)
+
+
+class TorsionList(NamedTuple):
+    """Flat torsion list: one entry per (center j, a, c, e) with e indexing
+    owner(k)'s bonded list."""
+    j: jax.Array        # (M,) center row
+    a: jax.Array        # (M,) slot of i in j's bonded list
+    c: jax.Array        # (M,) slot of k in j's bonded list
+    ok: jax.Array       # (M,) owner row of k
+    e: jax.Array        # (M,) slot of l in owner(k)'s bonded list
+    valid: jax.Array
+    prm: jax.Array      # (M, 9) torsion-type params (type-static)
+    cnt: jax.Array
+
+
+def _term_candidates(types, img, nbrs, bo: BondOrder, ffd: FFDev, ks: int,
+                     slack: float, margin: float):
+    """Bonded-slot candidates for many-body enumeration: strong now
+    (BO > slack*cutof2_esub) or within `margin` [A] of the sigma cutoff.
+    Geometric candidates get an effective BO of ~0.11 so every product gate
+    they could later satisfy passes at build time."""
+    maskb = nbrs.maskb
+    idx = jnp.where(maskb, nbrs.idxb, 0)
     oj = img.owner_of(idx)
-    tj = types
-    tnbr = types[oj]                                   # (n, kb)
+    bo0 = jax.lax.stop_gradient(bo.bo[..., 0])
+    strong = bo.mask & (bo0 > units.CUTOF2_ESUB * slack)
+    if margin > 0.0:
+        dr2 = jax.lax.stop_gradient(jnp.sum(bo.drb * bo.drb, axis=-1))
+        rcm2 = (jnp.sqrt(ffd.rc2b[types[:, None], types[oj]]) + margin) ** 2
+        cand = maskb & (strong | (dr2 <= rcm2))
+        bo_eff = jnp.where(cand, jnp.maximum(bo0, 0.11), 0.0)
+    else:
+        cand = strong
+        bo_eff = jnp.where(cand, bo0, 0.0)
+    sslot, svalid, cnt = _row_topk_slots(cand, min(ks, maskb.shape[1]))
+    return sslot, svalid, cnt, bo_eff, oj, idx
 
-    bo0 = bo.bo[..., 0]
-    esub = units.CUTOF2_ESUB
 
-    # ---- list construction (non-differentiable) on the strong-bond sublist
+def _angle_mask(types, img, nbrs, bo, amask, ffd, ks, slack, margin):
+    """(n, ks, ks) build-time angle validity on the candidate sublist."""
+    n = nbrs.idxb.shape[0]
     row = jnp.arange(n)[:, None]
-    sslot, svalid, _ = strong_slots(bo, ks)
-    bo_s = jax.lax.stop_gradient(bo0)[row, sslot]      # (n, ks)
-    tn_s = tnbr[row, sslot]
+    sslot, svalid, cnt, bo_eff, oj, idx = _term_candidates(
+        types, img, nbrs, bo, ffd, ks, slack, margin)
+    ks = sslot.shape[1]
+    bo_s = bo_eff[row, sslot]
+    tn_s = types[oj][row, sslot]
     pm = (svalid[:, :, None] & svalid[:, None, :]
           & (sslot[:, :, None] < sslot[:, None, :])
-          & (bo_s[:, :, None] * bo_s[:, None, :] > esub)
+          & (bo_s[:, :, None] * bo_s[:, None, :]
+             > units.CUTOF2_ESUB * slack)
           & amask[:, None, None])
     a3_s = ffd.inxn3[tn_s[:, :, None],
-                     jnp.broadcast_to(tj[:, None, None], pm.shape),
+                     jnp.broadcast_to(types[:, None, None], pm.shape),
                      tn_s[:, None, :]]
     pm = pm & (a3_s >= 0)
-    s, valid, _ = _row_topk_slots(pm.reshape(n, ks * ks), cap)
-    a = sslot[row, s // ks]                             # original slot pairs
-    c = sslot[row, s % ks]
+    return pm, sslot, cnt
 
-    # ---- per-entry gathers
-    a3 = ffd.inxn3[tnbr[row, a], tj[:, None], tnbr[row, c]]
-    a3 = jnp.where(valid, a3, 0)
-    # all 17 per-angle-type params in one packed row gather (vs 17 separate
-    # small-table gathers at ~2 ms each on TPU)
-    ap = ffd.angprm[a3]                                 # (n, cap, 17)
+
+def build_angle_list(types, img, nbrs, bo: BondOrder, amask, ffd: FFDev,
+                     cap: int = 4096, ks: int = 12, slack: float = 1.0,
+                     margin: float = 0.0) -> AngleList:
+    """Compact flat angle list (ref enumeration: pot.F90:369-399).
+    `cap` is the TOTAL entry capacity across all atoms."""
+    n, kb = nbrs.idxb.shape
+    pm, sslot, _ = _angle_mask(types, img, nbrs, bo, amask, ffd, ks, slack,
+                               margin)
+    ks = sslot.shape[1]
+    fidx, valid, cnt = _flat_compact(pm.reshape(-1), cap)
+    j = fidx // (ks * ks)
+    s = fidx % (ks * ks)
+    a = sslot[j, s // ks]
+    c = sslot[j, s % ks]
+    idx = jnp.where(nbrs.maskb, nbrs.idxb, 0)
+    oj = img.owner_of(idx)
+    tnbr = types[oj]
+    a3 = ffd.inxn3[tnbr[j, a], types[j], tnbr[j, c]]
+    a3 = jnp.where(valid & (a3 >= 0), a3, 0)
+    return AngleList(j=j, a=a, c=c, oi=oj[j, a], ok=oj[j, c], valid=valid,
+                     prm=ffd.angprm[a3], cnt=cnt)
+
+
+def e_3body(pos, H, types, img, nbrs, bo: BondOrder, lp: LonePair, amask,
+            ffd: FFDev, cap: int = 4096, ks: int = 12,
+            al: AngleList = None):
+    """Valence angle + penalty + 3-body conjugation (ref: pot.F90:355-549).
+
+    Evaluates the (possibly cached) flat angle list; validity is re-gated
+    with live bond orders so a cached superset list yields the same energy
+    as per-step enumeration.  Geometry comes from the differentiable
+    per-bond displacement table bo.drb.
+    """
+    if al is None:
+        al = build_angle_list(types, img, nbrs, bo, amask, ffd, cap, ks)
+    j, a, c = al.j, al.a, al.c
+    bo0 = bo.bo[..., 0]
+    esub = units.CUTOF2_ESUB
+    maskp = bo.mask
+
+    boij_raw = bo0[j, a]
+    bojk_raw = bo0[j, c]
+    # live gates: exact reference semantics regardless of list staleness
+    valid = (al.valid & (boij_raw > esub) & (bojk_raw > esub)
+             & (boij_raw * bojk_raw > esub))
+    boij = boij_raw - esub
+    bojk = bojk_raw - esub
+
+    ap = al.prm                                         # (M, 17)
     (theta00_, pval1_, pval2_, pval4_, pval6_, pval7_, pval8_, pval9_,
      pval10_, ppen1_, ppen2_, ppen3_, ppen4_, pcoa1_, pcoa2_, pcoa3_,
      pcoa4_) = [ap[..., k] for k in range(17)]
-    boij = bo0[row, a] - esub
-    bojk = bo0[row, c] - esub
-    idx_i = idx[row, a]
-    idx_k = idx[row, c]
 
-    # center-j sums (ref: pot.F90:359-365)
+    # center sums (ref: pot.F90:359-365), (n,) then gathered per entry
     sum_bo8 = jnp.sum(jnp.where(maskp, -_powm(bo0, 8.0, maskp), 0.0), axis=1)
     prod_sbo = jnp.exp(sum_bo8)
     sum_sbo1 = jnp.sum(jnp.where(maskp, bo.bo[..., 2] + bo.bo[..., 3], 0.0),
                        axis=1)
-    delta_ang = bo.delta + ffd.Val[tj] - ffd.Valangle[tj]
+    delta_ang_n = bo.delta + ffd.Val[types] - ffd.Valangle[types]
 
-    rij = pose[idx_i] - pos[:, None, :]                # (n, cap, 3)
-    rjk = pos[:, None, :] - pose[idx_k]
+    rij = -bo.drb[j, a]                                # (M, 3)
+    rjk = bo.drb[j, c]
     cos_ijk, _, _ = _angle_cos(rij, rjk, valid)
     theta = jnp.arccos(cos_ijk)
 
@@ -770,19 +875,17 @@ def e_3body(pos, H, types, img, nbrs, bo: BondOrder, lp: LonePair, amask,
 
     # --- PEval (ref: pot.F90:404-427)
     pv4 = pval4_
-    pv3j = ffd.pval3[tj][:, None]
+    pv3j = ffd.pval3[types[j]]
     fn7ij = 1.0 - jnp.exp(-pv3j * _powm(boij_s, pv4, valid))
     fn7jk = 1.0 - jnp.exp(-pv3j * _powm(bojk_s, pv4, valid))
-    da = delta_ang[:, None]
+    da = delta_ang_n[j]
     exp6 = _exp(pval6_ * da)
     exp7 = _exp(-pval7_ * da)
     trm8 = 1.0 + exp6 + exp7
-    pv5j = ffd.pval5[tj][:, None]
+    pv5j = ffd.pval5[types[j]]
     fn8j = pv5j - (pv5j - 1.0) * (2.0 + exp6) / trm8
 
-    sbo = (sum_sbo1[:, None]
-           + (1.0 - prod_sbo[:, None]) * (-da - pval8_
-                                          * lp.nlp[:, None]))
+    sbo = sum_sbo1[j] + (1.0 - prod_sbo[j]) * (-da - pval8_ * lp.nlp[j])
     pv9 = pval9_
     sbo_s = jnp.clip(sbo, 0.0, 2.0)
     sbo2 = jnp.where(
@@ -798,7 +901,7 @@ def e_3body(pos, H, types, img, nbrs, bo: BondOrder, lp: LonePair, amask,
     peval = fn7ij * fn7jk * fn8j * (pval1_ - pval1_ * exp2)
 
     # --- PEpen (ref: pot.F90:460-466)
-    dj = bo.delta[:, None]
+    dj = bo.delta[j]
     exp_pen3 = _exp(-ppen3_ * dj)
     exp_pen4 = _exp(ppen4_ * dj)
     fn9 = (2.0 + exp_pen3) / (1.0 + exp_pen3 + exp_pen4)
@@ -807,9 +910,9 @@ def e_3body(pos, H, types, img, nbrs, bo: BondOrder, lp: LonePair, amask,
              * jnp.exp(-ppen2_ * (bojk - 2.0) ** 2))
 
     # --- PEcoa (ref: pot.F90:479-489)
-    dv = bo.delta[img.owner_of(idx_i)] + ffd.Val[types[img.owner_of(idx_i)]]
-    dk = bo.delta[img.owner_of(idx_k)] + ffd.Val[types[img.owner_of(idx_k)]]
-    delta_val = (bo.delta + ffd.Val[tj] - ffd.Valval[tj])[:, None]
+    dv = bo.delta[al.oi] + ffd.Val[types[al.oi]]
+    dk = bo.delta[al.ok] + ffd.Val[types[al.ok]]
+    delta_val = (bo.delta + ffd.Val[types] - ffd.Valval[types])[j]
     pecoa = (pcoa1_ * _logistic(pcoa2_ * delta_val)
              * jnp.exp(-pcoa3_ * (-boij + dv) ** 2)
              * jnp.exp(-pcoa3_ * (-bojk + dk) ** 2)
@@ -832,30 +935,27 @@ def _unit_cross(u, v, mask):
 
 
 def _torsion_mask(types, gid, img, nbrs, bo: BondOrder, amask, ffd: FFDev,
-                  ks: int = 12):
-    """Compact (n, a, c, e) torsion validity mask over strong-bond sublists,
+                  ks: int = 12, slack: float = 1.0, margin: float = 0.0):
+    """Compact (n, a, c, e) torsion validity mask over candidate sublists,
     on stop-gradient data (all reference enumeration gates,
-    ref: pot.F90:1019-1081).  Axes index the per-atom strong-slot lists;
+    ref: pot.F90:1019-1081).  Axes index the per-atom candidate lists;
     returns (mask, sslot, svalid) for mapping back to original slots."""
     n, kb = nbrs.idxb.shape
-    ks = min(ks, kb)
-    maskp = bo.mask
-    idx = jnp.where(maskp, nbrs.idxb, 0)
-    oj = img.owner_of(idx)
-    esub = units.CUTOF2_ESUB
+    esub = units.CUTOF2_ESUB * slack
     row = jnp.arange(n)[:, None]
 
-    sslot, svalid, _ = strong_slots(bo, ks)
-    bo_sg = jax.lax.stop_gradient(bo.bo[..., 0])
-    bo_s = bo_sg[row, sslot]                           # (n, ks)
-    idx_s = idx[row, sslot]                            # ext index per strong slot
+    sslot, svalid, _, bo_eff, oj, idx = _term_candidates(
+        types, img, nbrs, bo, ffd, ks, slack, margin)
+    ks = sslot.shape[1]
+    bo_s = bo_eff[row, sslot]                          # (n, ks)
+    idx_s = idx[row, sslot]                            # ext index per slot
     oj_s = oj[row, sslot]                              # owner rows
     key_ext = _ext_key(img)
 
-    # l-side: strong slots of owner(k), translated by k's shift
+    # l-side: candidate slots of owner(k), translated by k's shift
     sslot_l = sslot[oj_s]                              # (n, c, e)
     svalid_l = svalid[oj_s]
-    bo_kl = bo_sg[oj_s[:, :, None], sslot_l]
+    bo_kl = bo_eff[oj_s[:, :, None], sslot_l]
     idx_le = idx[oj_s[:, :, None], sslot_l]            # ext index of l
     shift_k = img.shift[idx_s]                         # (n, c, 3)
     key_l = (img.owner_of(idx_le).astype(jnp.int32) * 729
@@ -879,7 +979,7 @@ def _torsion_mask(types, gid, img, nbrs, bo: BondOrder, amask, ffd: FFDev,
              & (bo_s[:, None, :, None] * E(bo_kl) > esub)
              & ~same_ik
              & (bo_s[:, :, None, None] * bo_s[:, None, :, None] ** 2
-                * E(bo_kl) > units.MINBO0)
+                * E(bo_kl) > units.MINBO0 * slack)
              & (A(key_ext[idx_s]) != E(key_l))          # i != l
              & (key_j[:, None] != E(key_l)))            # j != l
     # torsion-type existence on the (a,c,e) grid: a 7.8M-element 4-D table
@@ -896,62 +996,76 @@ def _torsion_mask(types, gid, img, nbrs, bo: BondOrder, amask, ffd: FFDev,
     return mask4, sslot, svalid
 
 
-def e_4body(pos, H, types, img, nbrs, bo: BondOrder, amask, gid,
-            ffd: FFDev, cap: int = 48, ks: int = 12):
-    """Torsion + 4-body conjugation (ref: pot.F90:1012-1219).
+def build_torsion_list(types, gid, img, nbrs, bo: BondOrder, amask,
+                       ffd: FFDev, cap: int = 8192, ks: int = 12,
+                       slack: float = 1.0,
+                       margin: float = 0.0) -> TorsionList:
+    """Compact flat torsion list (ref enumeration: pot.F90:1019-1081).
 
-    Enumeration: resident center j, strong bond c -> k (counted once via
-    gid(j) < gid(k)), strong slot a -> i in j's list, strong slot e -> l in
-    owner(k)'s list translated by k's image shift.  Valid (a,c,e) triples
-    per center are compacted into a per-atom list of capacity `cap`.
+    Center j, bond c -> k (counted once via gid(j) < gid(k)), slot a -> i in
+    j's list, slot e -> l in owner(k)'s list.  `cap` is the TOTAL entry
+    capacity across all atoms.
     """
     n, kb = nbrs.idxb.shape
-    ks = min(ks, kb)
-    pose = ext_positions(pos, H, img)
-    maskp = bo.mask
-    idx = jnp.where(maskp, nbrs.idxb, 0)
-    oj = img.owner_of(idx)                     # (n, kb) neighbor owners
-    bo0 = bo.bo[..., 0]
-    esub = units.CUTOF2_ESUB
-
-    tj = types
-    delta_ang = bo.delta + ffd.Val[tj] - ffd.Valangle[tj]
-
     mask4, sslot, svalid = _torsion_mask(types, gid, img, nbrs, bo, amask,
-                                         ffd, ks)
-    s, valid, _ = _row_topk_slots(mask4.reshape(n, ks * ks * ks), cap)
-
-    # map compact strong-slot triples back to original slot indices
-    row = jnp.arange(n)[:, None]
-    a = sslot[row, s // (ks * ks)]
-    c = sslot[row, (s // ks) % ks]
-    ok = oj[row, c]
+                                         ffd, ks, slack, margin)
+    ks = sslot.shape[1]
+    fidx, valid, cnt = _flat_compact(mask4.reshape(-1), cap)
+    j = fidx // (ks * ks * ks)
+    s = fidx % (ks * ks * ks)
+    a = sslot[j, s // (ks * ks)]
+    c = sslot[j, (s // ks) % ks]
+    idx = jnp.where(nbrs.maskb, nbrs.idxb, 0)
+    oj = img.owner_of(idx)
+    ok = oj[j, c]
     e = sslot[ok, s % ks]
-
-    # ---- per-entry gathers, all (n, cap)
-    boij = bo0[row, a] - esub
-    bojk = bo0[row, c] - esub
-    bokl = bo0[ok, e] - esub
-    bo_pi_jk = bo.bo[..., 2][row, c]
-    idx_i = idx[row, a]
-    idx_k = idx[row, c]
-    idx_l = jnp.where(maskp, nbrs.idxb, 0)[ok, e]
-    shk = img.shift[idx_k]                             # (n, cap, 3)
-    t4 = ffd.inxn4[types[img.owner_of(idx_i)], tj[:, None], types[ok],
+    idx_l = idx[ok, e]
+    t4 = ffd.inxn4[types[oj[j, a]], types[j], types[ok],
                    types[img.owner_of(idx_l)]]
     t4 = jnp.where(valid & (t4 >= 0), t4, 0)
-    # all 9 torsion-type params in one packed row gather
-    tp = ffd.torprm[t4]                                # (n, cap, 9)
+    return TorsionList(j=j, a=a, c=c, ok=ok, e=e, valid=valid,
+                       prm=ffd.torprm[t4], cnt=cnt)
+
+
+def e_4body(pos, H, types, img, nbrs, bo: BondOrder, amask, gid,
+            ffd: FFDev, cap: int = 8192, ks: int = 12,
+            tl: TorsionList = None):
+    """Torsion + 4-body conjugation (ref: pot.F90:1012-1219).
+
+    Evaluates the (possibly cached) flat torsion list with live BO
+    re-gating; all four bond legs come from the differentiable per-bond
+    displacement table bo.drb (translation invariance makes l's leg
+    shift-free: drb[owner(k), e] equals r_k - r_l for the actual image
+    of k).
+    """
+    if tl is None:
+        tl = build_torsion_list(types, gid, img, nbrs, bo, amask, ffd,
+                                cap, ks)
+    j, a, c, ok, e = tl.j, tl.a, tl.c, tl.ok, tl.e
+    bo0 = bo.bo[..., 0]
+    esub = units.CUTOF2_ESUB
+    delta_ang_n = bo.delta + ffd.Val[types] - ffd.Valangle[types]
+
+    boij_raw = bo0[j, a]
+    bojk_raw = bo0[j, c]
+    bokl_raw = bo0[ok, e]
+    # live gates (exact reference semantics under list staleness)
+    valid = (tl.valid
+             & (boij_raw > esub) & (bojk_raw > esub) & (bokl_raw > esub)
+             & (boij_raw * bojk_raw > esub)
+             & (bojk_raw * bokl_raw > esub)
+             & (boij_raw * bojk_raw * bojk_raw * bokl_raw > units.MINBO0))
+    boij = boij_raw - esub
+    bojk = bojk_raw - esub
+    bokl = bokl_raw - esub
+    bo_pi_jk = bo.bo[..., 2][j, c]
+    tp = tl.prm                                        # (M, 9)
     (V1_, V2_, V3_, ptor1_, ptor2_, ptor3_, ptor4_, pcot1_,
      pcot2_) = [tp[..., k] for k in range(9)]
 
-    pos_i = pose[idx_i]
-    pos_k = pose[idx_k]
-    pos_l = pose[idx_l] + shk @ H.T
-
-    rij = pos_i - pos[:, None, :]
-    rjk = pos[:, None, :] - pos_k
-    rkl = pos_k - pos_l
+    rij = -bo.drb[j, a]                                # r_i - r_j
+    rjk = bo.drb[j, c]                                 # r_j - r_k
+    rkl = bo.drb[ok, e]                                # r_k - r_l
 
     cos_ijk, nij, njk = _angle_cos(rij, rjk, valid)
     cos_jkl, _, nkl = _angle_cos(rjk, rkl, valid)
@@ -975,7 +1089,7 @@ def e_4body(pos, H, types, img, nbrs, bo: BondOrder, amask, gid,
     exp_tor2_ij = jnp.exp(-ptor2_ * boij_s)
     exp_tor2_jk = jnp.exp(-ptor2_ * bojk_s)
     exp_tor2_kl = jnp.exp(-ptor2_ * bokl_s)
-    dajk = delta_ang[:, None] + delta_ang[ok]
+    dajk = delta_ang_n[j] + delta_ang_n[ok]
     exp_tor3 = _exp(-ptor3_ * dajk)
     exp_tor4 = _exp(ptor4_ * dajk)
     fn10 = (1.0 - exp_tor2_ij) * (1.0 - exp_tor2_jk) * (1.0 - exp_tor2_kl)
@@ -1198,12 +1312,15 @@ def e_nonbond_pqeq(pos, spos, q, H, types, img, nbrs, gid, amask, ffd: FFDev,
 # assembly
 # ----------------------------------------------------------------------------
 
-DEFAULT_CAPS = {"ang": 16, "tor": 48, "hb": 64, "ks": 12, "kh": 6}
+# "ang"/"tor" are TOTAL flat-list capacities (see AngleList/TorsionList);
+# "hb" is the per-donor pair capacity of e_hbond's compacted mode
+DEFAULT_CAPS = {"ang": 4096, "tor": 8192, "hb": 64, "ks": 12, "kh": 6}
 
 
 def energy_components(pos, q, H, types, gid, img: ImageTable,
                       nbrs: Neighbors, ffd: FFDev, amask=None, caps=None,
-                      pq=None, spos=None, include_nonbond=True, ctx=None):
+                      pq=None, spos=None, include_nonbond=True, ctx=None,
+                      lists=None):
     """All potential-energy components as a (14,) vector using the
     reference's PE slot convention (ref: module.F90:143-146):
       0=total 1=Ebond 2=Elp 3=Eover 4=Eunder 5=Eval 6=Epen 7=Ecoa
@@ -1218,12 +1335,13 @@ def energy_components(pos, q, H, types, gid, img: ImageTable,
     bo = bond_order(pos, H, types, img, nbrs, ffd)
     lp = lone_pair(types, bo.delta, ffd)
 
+    al, tl = lists if lists is not None else (None, None)
     ebond = e_bond(types, img, nbrs, bo, gid, amask, ffd)
     elp, eover, eunder = e_lnpr(types, img, nbrs, bo, lp, amask, ffd)
     eval_, epen, ecoa = e_3body(pos, H, types, img, nbrs, bo, lp, amask, ffd,
-                                cap=caps["ang"], ks=caps["ks"])
+                                cap=caps["ang"], ks=caps["ks"], al=al)
     etors, econj = e_4body(pos, H, types, img, nbrs, bo, amask, gid, ffd,
-                           cap=caps["tor"], ks=caps["ks"])
+                           cap=caps["tor"], ks=caps["ks"], tl=tl)
     ehb = e_hbond(pos, H, types, img, nbrs, bo, amask, ffd, cap=caps["hb"],
                   kh=caps["kh"], ctx=ctx)
     if not include_nonbond:
@@ -1251,7 +1369,7 @@ def total_energy(pos, q, H, types, gid, img, nbrs, ffd, amask=None,
 
 def energy_and_forces(pos, q, H, types, gid, img, nbrs, ffd, amask=None,
                       caps=None, pq=None, spos=None, fast_nonbond=True,
-                      closed_form=None):
+                      closed_form=None, lists=None):
     """(PE components, forces).
 
     Bonded forces are exact -dE/dpos via autodiff; the ghost-force reduction
@@ -1278,7 +1396,7 @@ def energy_and_forces(pos, q, H, types, gid, img, nbrs, ffd, amask=None,
     def etot(p):
         c = energy_components(p, q, H, types, gid, img, nbrs, ffd, amask,
                               caps, pq, spos, include_nonbond=not use_fast,
-                              ctx=ctx)
+                              ctx=ctx, lists=lists)
         return c[0], c
     (_, comps), grad = jax.value_and_grad(etot, has_aux=True)(pos)
     f = -grad
@@ -1295,10 +1413,13 @@ def energy_and_forces(pos, q, H, types, gid, img, nbrs, ffd, amask=None,
     return comps, f
 
 
-def term_counts(pos, H, types, gid, img, nbrs, ffd, amask=None):
+def term_counts(pos, H, types, gid, img, nbrs, ffd, amask=None,
+                slack: float = 1.0, margin: float = 0.0):
     """Host-side probe of actual per-atom interaction-list occupancies, used
     to auto-size the angle/torsion/hbond caps (analog of the reference's
-    maxas stats, main.F90:128-146).  Upper bounds, cheap to compute."""
+    maxas stats, main.F90:128-146).  Upper bounds, cheap to compute.
+    `slack`/`margin` must match the engine's list-caching gates so the caps
+    cover the slackened candidate sets."""
     n = pos.shape[0]
     if amask is None:
         amask = jnp.ones(n, dtype=bool)
@@ -1306,19 +1427,18 @@ def term_counts(pos, H, types, gid, img, nbrs, ffd, amask=None):
     kb = bo.mask.shape[1]
     bo0 = bo.bo[..., 0]
     esub = units.CUTOF2_ESUB
-    okb = bo.mask & (bo0 > esub)
-    slot = jnp.arange(kb)
-    pm = (okb[:, :, None] & okb[:, None, :]
-          & (slot[:, None] < slot[None, :])[None]
-          & (bo0[:, :, None] * bo0[:, None, :] > esub))
-    ang = int(pm.sum(axis=(1, 2)).max())
-    deg = okb.sum(axis=1)
-    degmax = int(deg.max())
-    # probe the torsion occupancy on the strong-bond sublist only (kb can be
+    _, _, cand_cnt, _, _, _ = _term_candidates(types, img, nbrs, bo, ffd,
+                                               kb, slack, margin)
+    degmax = int(cand_cnt.max())
+    ksp = min(degmax + 2, kb)
+    pm, _, _ = _angle_mask(types, img, nbrs, bo, amask, ffd, ksp, slack,
+                           margin)
+    ang = int(pm.sum())                        # TOTAL entries (flat lists)
+    # probe the torsion occupancy on the candidate sublist only (kb can be
     # much larger than the real bond degree when lists carry a Verlet skin)
     mask4, _, _ = _torsion_mask(types, gid, img, nbrs, bo, amask, ffd,
-                                ks=min(degmax + 2, kb))
-    tor = int(mask4.sum(axis=(1, 2, 3)).max())
+                                ks=ksp, slack=slack, margin=margin)
+    tor = int(mask4.sum())                     # TOTAL entries (flat lists)
     # hbond: H-neighbors of i times worst-case acceptors is loose; count
     # H-bonded slots and scale by a modest acceptor estimate
     idx = jnp.where(bo.mask, nbrs.idxb, 0)

@@ -15,7 +15,9 @@ FF = "/root/reference/ffield"
 CELL = "/root/reference/conf/init.rdx/input.xyz"
 
 
-CAPS = {"ang": 40, "tor": 96, "hb": 384}
+# ang/tor are TOTAL flat-list capacities; RDX-168 has ~1.5k angles, ~2.8k
+# torsion entries
+CAPS = {"ang": 2048, "tor": 4096, "hb": 384}
 
 
 @pytest.fixture(scope="module")
