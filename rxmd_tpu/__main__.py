@@ -29,8 +29,9 @@ def main(argv=None):
     dtype = jnp.dtype(cfg.dtype)
     from .io import refbin, checkpoint
     if args.run_from_xyz:
+        mc = tuple(args.mc) if getattr(args, "mc", None) else (1, 1, 1)
         st = system.from_cellfile(args.run_from_xyz, ff.name_to_type,
-                                  dtype=dtype)
+                                  mc=mc, dtype=dtype)
     elif os.path.exists(os.path.join(cfg.data_dir, "rxff.npz")):
         st = checkpoint.load(os.path.join(cfg.data_dir, "rxff.npz"), dtype)
     elif os.path.exists(os.path.join(cfg.data_dir, "rxff.bin")):
@@ -42,7 +43,20 @@ def main(argv=None):
               file=sys.stderr)
         return 1
 
-    eng = md.Engine(ff, st, cfg, dtype=dtype)
+    nvp = int(np.prod(cfg.vprocs))
+    sharded = nvp > 1
+    if sharded:
+        # spatial domain decomposition over a device mesh shaped like the
+        # rxmd.in `processors` grid (ref: cmdline.F90:273-276, init.F90:48-53)
+        import jax
+        from .parallel.engine import ShardedEngine
+        if len(jax.devices()) < nvp:
+            print(f"ERROR: processors {cfg.vprocs} needs {nvp} devices, "
+                  f"have {len(jax.devices())}", file=sys.stderr)
+            return 1
+        eng = ShardedEngine(ff, st, cfg, mesh_shape=cfg.vprocs, dtype=dtype)
+    else:
+        eng = md.Engine(ff, st, cfg, dtype=dtype)
     print("-" * 64)
     print(f"{'parameter set:':>30s} {ff.header}")
     print(f"{'time step[fs]:':>30s} {cfg.dt_fs:10.2e}")
@@ -51,6 +65,9 @@ def main(argv=None):
     print(f"{'isQEq,QEq_tol,NMAXQEq,qstep:':>30s} {cfg.isQEq} "
           f"{cfg.QEq_tol:.1e} {cfg.NMAXQEq} {cfg.qstep}")
     print(f"{'NATOMS:':>30s} {st.n}")
+    if sharded:
+        print(f"{'req proc arrangement:':>30s} {cfg.vprocs} "
+              f"ncap {eng.ncap} bcap {eng.bcap}")
     print(f"{'neighbor caps kb/knb:':>30s} {eng.kb}/{eng.knb} "
           f"caps {eng.caps}")
     print("-" * 64)
@@ -59,6 +76,22 @@ def main(argv=None):
           "6-(Evdw,EClmb,Echarge)")
 
     os.makedirs(cfg.data_dir, exist_ok=True)
+
+    if sharded:
+        from .io import checkpoint as _ck
+
+        def swriter(e):
+            base = os.path.join(cfg.data_dir, f"{e.step_count:09d}")
+            e.write_frame(base)
+
+        eng.run(cfg.ntime_step, log=print,
+                writer=swriter if (cfg.is_xyz or cfg.is_pdb
+                                   or cfg.is_binary) else None)
+        final = eng.to_state()
+        _ck.save(os.path.join(cfg.data_dir, "rxff.npz"), final)
+        refbin.write_rxff_bin(os.path.join(cfg.data_dir, "rxff.bin"), final)
+        print("rxmd-tpu successfully finished")
+        return 0
 
     if cfg.mdmode == 10:
         # structural optimization instead of MD (ref: main.F90:25, cg.F90)

@@ -148,6 +148,8 @@ def cli_parser() -> argparse.ArgumentParser:
     p.add_argument("--ffield", default=None)
     p.add_argument("--outDir", default=None)
     p.add_argument("--run_from_xyz", default=None)
+    p.add_argument("--mc", nargs=3, type=int, default=None,
+                   help="replicate the --run_from_xyz cell (geninit -mc)")
     p.add_argument("--mdmode", type=int, default=None)
     p.add_argument("--dt", type=float, default=None)
     p.add_argument("--ntime_step", type=int, default=None)

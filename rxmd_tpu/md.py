@@ -89,6 +89,7 @@ def probe_capacities(ff: ForceField, state: State, ffd, rctap, dtype,
     caps = {"ang": _round_up(int(tc["ang"] * 1.3) + 64, 256),
             "tor": _round_up(int(tc["tor"] * 1.3) + 64, 512),
             "hb": max(_round_up(int(tc["hb"] * 1.4) + 2, 4), 4),
+            "hbf": max(_round_up(int(tc["hbf"] * 1.4) + 64, 256), 256),
             "ks": _round_up(tc["degmax"] + 2, 2),
             "kh": max(_round_up(tc.get("h_slots", 4) + 1, 2), 2),
             "kb_t": kb_t, "knb_t": knb_t}
@@ -227,7 +228,7 @@ class Engine:
         return frac @ H.T
 
     def _qeq_step(self, pos, q, qsfp, qsfv, H, types, nbrs, isqeq=None,
-                  spos=None):
+                  spos=None, pre=None):
         cfg = self.cfg
         isqeq = cfg.isQEq if isqeq is None else isqeq
         if isqeq == 0:
@@ -243,29 +244,44 @@ class Engine:
             return qn, qsfp, qsfv, iters, spos_n
         res = qeq.solve(pos, q, qsfp, H, types, self.img, nbrs, self.ffd,
                         isqeq=isqeq, nmax=cfg.NMAXQEq, tol=cfg.QEq_tol,
-                        lex_fqs=cfg.Lex_fqs)
+                        lex_fqs=cfg.Lex_fqs, pre=pre)
         if isqeq == 1:
             # fictitious charges re-seeded from pre-QEq q (ref: qeq.F90:42-43)
             return res.q, q, jnp.zeros_like(qsfv), res.iters, spos
         return res.q, qsfp, qsfv, res.iters, spos
 
-    def _forces(self, pos, q, H, types, gid, nbrs, spos=None, lists=()):
-        comps, f = reax.energy_and_forces(pos, q, H, types, gid, self.img,
-                                          nbrs, self.ffd, caps=self.caps,
-                                          pq=self.pq, spos=spos,
-                                          lists=lists or None)
+    def _forces(self, pos, q, H, types, gid, nbrs, spos=None, lists=(),
+                with_virial=False, ctx=None, rows_pre=None):
+        out = reax.energy_and_forces(pos, q, H, types, gid, self.img,
+                                     nbrs, self.ffd, caps=self.caps,
+                                     pq=self.pq, spos=spos,
+                                     lists=lists or None,
+                                     with_virial=with_virial,
+                                     ctx=ctx, rows_pre=rows_pre)
+        comps, f = out[0], out[1]
+        w = out[2] if with_virial else None
+        f_extra = None
         if self.cfg.isEfield:
             # constant-field force on core charges (ref: module.F90:359-383)
             qc = q
             if self.pq is not None:
                 qc = q + self.pq.Z[types]   # ref: EEfield module.F90:374-378
             fe = -qc * self.cfg.eFieldStrength * units.EEV_KCAL
-            f = f.at[:, self.cfg.eFieldDir].add(fe)
+            f_extra = jnp.zeros_like(f).at[:, self.cfg.eFieldDir].add(fe)
         if self.cfg.spring_const:
             # harmonic restraint toward the initial positions
             # (ref: SpringForce pot.F90:95-110)
             fs = -self.cfg.spring_const * (pos - self.ipos)
-            f = f + jnp.where(self._spring_mask[:, None], fs, 0.0)
+            fs = jnp.where(self._spring_mask[:, None], fs, 0.0)
+            f_extra = fs if f_extra is None else f_extra + fs
+        if f_extra is not None:
+            f = f + f_extra
+            if with_virial:
+                # reference includes every force in the Σ pos·f stress
+                # accumulation (pot.F90:60-72)
+                w = w + jnp.einsum("ia,ib->ab", f_extra, pos)
+        if with_virial:
+            return comps, f, w
         return comps, f
 
     def _thermostat(self, s: State, do_scale):
@@ -308,6 +324,24 @@ class Engine:
         vcm = jnp.sum(m[:, None] * v, axis=0) / jnp.sum(m)
         return v - vcm[None, :]
 
+    def remove_angular_momentum(self):
+        """Remove rigid rotation about the center of mass: subtract
+        (I^-1 L) x r from every velocity (the intended behavior of the
+        reference's `angular_momentum`, main.F90:480-553; that routine is
+        dead code there — never called — and its accumulation loops are
+        broken, so we implement the physics it documents, not its bugs)."""
+        s = self.state
+        m = (2.0 * self.hmas)[s.types]
+        com = jnp.sum(m[:, None] * s.pos, axis=0) / jnp.sum(m)
+        dr = s.pos - com
+        L = jnp.sum(m[:, None] * jnp.cross(dr, s.vel), axis=0)
+        r2 = jnp.sum(dr * dr, axis=1)
+        inert = (jnp.eye(3, dtype=s.pos.dtype) * jnp.sum(m * r2)
+                 - jnp.einsum("i,ia,ib->ab", m, dr, dr))
+        omega = jnp.linalg.solve(inert, L)
+        self.state = dataclasses.replace(
+            self.state, vel=s.vel - jnp.cross(omega[None, :], dr))
+
     # ------------------------------------------------------------------
     def _make_rebuild(self):
         """Wrap positions into the box, rebuild the skinned neighbor lists,
@@ -332,7 +366,11 @@ class Engine:
                     s.types, s.gid, self.img, nbrs, bo, amask, self.ffd,
                     cap=self.caps["tor"], ks=self.caps["ks"],
                     slack=self.term_slack, margin=self.term_margin)
-                lists = (al, tl)
+                hl = reax.build_hbond_list(
+                    pos, s.H, s.types, self.img, nbrs, bo, amask, self.ffd,
+                    cap=self.caps["hbf"], kh=self.caps["kh"],
+                    slack=self.term_slack, margin=self.term_margin)
+                lists = (al, tl, hl)
             return dataclasses.replace(s, pos=pos), nbrs, lists
         return rebuild
 
@@ -359,7 +397,7 @@ class Engine:
         cfg = self.cfg
         dt = self.dt
 
-        def step(s: State, f, nbrs, lists, pos_ref):
+        def step(s: State, f, nbrs, lists, pos_ref, astr):
             do_scale = (s.step % cfg.sstep) == 0
             s = self._thermostat(s, do_scale)
 
@@ -372,15 +410,37 @@ class Engine:
             pos = s.pos + dt * v
 
             nbrs = self._tight_nbrs(pos, s.H, s.types, nbrs)
+            # ONE pair context + table-row gather per step, shared by the
+            # QEq hessian and the nonbond force kernel (both walk the same
+            # pair list — the analog of the reference reusing nbplist)
+            ctx = rows_pre = None
+            if self.pq is None:
+                amask = jnp.ones(pos.shape[0], bool)
+                ctx = reax.nb_ctx(pos, None, s.H, s.types, self.img, nbrs,
+                                  s.gid, amask, self.ffd)
+                rows_pre = reax.pair_rows(ctx, s.types, self.ffd)
             do_qeq = (s.step % cfg.qstep) == 0
+            pre = (ctx, *rows_pre) if ctx is not None else None
             q, qsfp, qsfv, nq, spos = jax.lax.cond(
                 do_qeq,
                 lambda: self._qeq_step(pos, s.q, qsfp, qsfv, s.H, s.types,
-                                       nbrs, spos=s.spos),
+                                       nbrs, spos=s.spos, pre=pre),
                 lambda: (s.q, qsfp, qsfv, jnp.int32(0), s.spos))
 
-            comps, f2 = self._forces(pos, q, s.H, s.types, s.gid, nbrs,
-                                     spos=spos, lists=lists)
+            comps, f2, w = self._forces(pos, q, s.H, s.types, s.gid, nbrs,
+                                        spos=spos, lists=lists,
+                                        with_virial=True, ctx=ctx,
+                                        rows_pre=rows_pre)
+
+            # per-step stress accumulation: kinetic m v_a v_b with the
+            # half-kicked velocity + potential virial (ref: main.F90:86-94
+            # + pot.F90:65-72); components ordered (xx,yy,zz,yz,zx,xy)
+            m = (2.0 * self.hmas)[s.types]
+            kin = jnp.einsum("i,ia,ib->ab", m, v, v,
+                             preferred_element_type=v.dtype)
+            sw = kin + 0.5 * (w + w.T)
+            astr = astr + jnp.stack([sw[0, 0], sw[1, 1], sw[2, 2],
+                                     sw[1, 2], sw[2, 0], sw[0, 1]])
 
             # second half kick (ref: main.F90:97-98)
             v = v + self.dthm[s.types][:, None] * f2
@@ -394,7 +454,7 @@ class Engine:
             s2 = dataclasses.replace(
                 s, pos=pos, vel=v, q=q, qsfp=qsfp, qsfv=qsfv, spos=spos,
                 step=s.step + 1)
-            return s2, f2, comps, nq, ke, maxdr2
+            return s2, f2, comps, nq, ke, maxdr2, astr
         return step
 
     # ------------------------------------------------------------------
@@ -434,15 +494,18 @@ class Engine:
         """Abort on interaction-list overflow like the reference
         (ref: main.F90:402-407); silent truncation is never acceptable."""
         if self.tlists:
-            al, tl = self.tlists
-            na, nt = int(al.cnt), int(tl.cnt)
-            if na > al.valid.shape[0] or nt > tl.valid.shape[0]:
+            al, tl, hl = self.tlists
+            na, nt, nh = int(al.cnt), int(tl.cnt), int(hl.cnt)
+            if (na > al.valid.shape[0] or nt > tl.valid.shape[0]
+                    or nh > hl.valid.shape[0]):
                 raise RuntimeError(
                     f"interaction-list overflow: angles {na}/"
                     f"{al.valid.shape[0]} torsions {nt}/{tl.valid.shape[0]}"
+                    f" hbonds {nh}/{hl.valid.shape[0]}"
                     " — raise caps (ref aborts too, main.F90:402-407)")
             self.timers.peak("angle list", na, al.valid.shape[0])
             self.timers.peak("torsion list", nt, tl.valid.shape[0])
+            self.timers.peak("hbond list", nh, hl.valid.shape[0])
 
     def prepare(self):
         self.state, self.nbrs, self.tlists = self._rebuild(self.state)
@@ -454,6 +517,8 @@ class Engine:
         self.force = f
         self.comps = comps
         self.nqeq = nq
+        self._astr = jnp.zeros((6,), self.dtype)
+        self._astr_steps = 0
         return comps
 
     def stress(self):
@@ -484,6 +549,20 @@ class Engine:
         sym = 0.5 * (virial + virial.T)
         return np.asarray((kin + sym) / vol * units.USTRS)
 
+    def pressure_gpa(self, reset=True):
+        """Pressure [GPa] from the per-step accumulated stress, normalized
+        exactly like the reference PRINTE: tr(astr)/3 / volume * USTRS
+        / pstep (ref: main.F90:252-253); the accumulator resets after each
+        print (ref: main.F90:269)."""
+        astr = np.asarray(getattr(self, "_astr", np.zeros(6)))
+        vol = abs(float(jnp.linalg.det(self.state.H)))
+        nst = max(self.cfg.pstep, 1)
+        ss = astr[:3].sum() / 3.0 / vol * units.USTRS / nst
+        if reset:
+            self._astr = jnp.zeros((6,), self.dtype)
+            self._astr_steps = 0
+        return float(ss)
+
     def printe_line(self):
         """PRINTE-format observables (ref: main.F90:210-263)."""
         s = self.state
@@ -493,11 +572,12 @@ class Engine:
         pe = np.asarray(self.comps) / n
         te = ke + pe[0]
         tt = ke * units.UTEMP
+        ss = self.pressure_gpa()
         qq = float(s.q.sum())
         return (f"MDstep: {int(s.step):9d} {te: .5E} {pe[0]: .5E} {ke: .5E} "
                 f"{pe[1]: .3E} {pe[2:5].sum(): .3E} {pe[5:8].sum(): .3E} "
                 f"{pe[8:10].sum(): .3E} {pe[10]: .3E} {pe[11:14].sum(): .3E} "
-                f"{tt:8.2f} {qq:8.2f} {int(self.nqeq):4d}")
+                f"{tt:8.2f} {ss:8.2f} {qq:8.2f} {int(self.nqeq):4d}")
 
     def init_velocity(self, seed=0):
         """Gaussian velocities scaled to treq with zero net momentum
@@ -565,9 +645,10 @@ class Engine:
                 self._maxdr2_dev = None
             with tm("MD step (dispatch)"):
                 out = self._step(self.state, self.force, self.nbrs,
-                                 self.tlists, self._pos_ref)
+                                 self.tlists, self._pos_ref, self._astr)
             (self.state, self.force, self.comps, self.nqeq, self._ke,
-             self._maxdr2_dev) = out
+             self._maxdr2_dev, self._astr) = out
+            self._astr_steps += 1
             self._steps_since_rebuild += 1
             tm.count("MD steps", 1)
         jax.block_until_ready(self.state.pos)

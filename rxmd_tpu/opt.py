@@ -19,6 +19,12 @@ import numpy as np
 
 GOLD = 0.5 * (np.sqrt(5.0) - 1.0)
 
+# reference line-search constants (ref: cg.F90:6-16)
+CG_MAX_BRACKET = 20       # CG_MaxBracketLoop
+CG_MAX_LINEMIN = 100      # CG_MaxLineMinLoop
+CG_WC1 = 1e-4             # Armijo constant
+CG_GSTOL = 1e-6           # golden-section interval tolerance (per atom)
+
 
 def conjugate_gradient(engine, max_iter: int = 500, ftol: float = None,
                        max_bracket: int = 50, log=print, writer=None):
@@ -49,40 +55,47 @@ def conjugate_gradient(engine, max_iter: int = 500, ftol: float = None,
         e, _, _ = evaluate(pos + alpha * p)
         return float(e)
 
-    def bracket(pos, p, pe0):
-        """Double the step until energy rises (ref: cg.F90:101-141)."""
+    def bracket(pos, p, pe0, f0):
+        """Double the step from 1e-2/N until the Armijo test fails
+        (ref: BracketSearchRange cg.F90:101-141 + WolfeConditions
+        cg.F90:144-208).  The reference's stop test reads
+        `.not.WolfeC1 .or. .not.WolfeC1` — i.e. only the Armijo rule
+        gates the bracket (the curvature bool is computed but unused);
+        we reproduce that observable behavior."""
         stepl = 1e-2 / n
-        last = pe0
-        for _ in range(max_bracket):
+        p_dot_f = float(jnp.vdot(p, f0))          # p . force(x)
+        for _ in range(min(max_bracket, CG_MAX_BRACKET)):
             stepl *= 2.0
             e = e_at(stepl, pos, p)
-            if e > last:                    # minimum bracketed
+            armijo = e <= pe0 + p_dot_f * CG_WC1 * stepl
+            if not armijo:                         # bracket found
                 return stepl
-            last = e
         return None
 
-    def golden(pos, p, b, iters=40):
-        """Golden-section minimization on [0, b] (ref: cg.F90:242-281)."""
+    def golden(pos, p, b):
+        """Golden-section minimization on [0, b]: interval shrinks until
+        |a-d| <= CG_GStol/N, returns the right edge like the reference
+        (GoldenSectionSearch returns dx, cg.F90:242-281 + use at :232)."""
         a = 0.0
         x1 = b - GOLD * (b - a)
         x2 = a + GOLD * (b - a)
         f1 = e_at(x1, pos, p)
         f2 = e_at(x2, pos, p)
-        for _ in range(iters):
-            if (b - a) < 1e-12:
+        for _ in range(CG_MAX_LINEMIN):
+            if abs(a - b) <= CG_GSTOL / n:
                 break
-            if f1 > f2:
-                a, x1, f1 = x1, x2, f2
-                x2 = a + GOLD * (b - a)
-                f2 = e_at(x2, pos, p)
+            if f1 < f2:
+                b = x2
             else:
-                b, x2, f2 = x2, x1, f1
-                x1 = b - GOLD * (b - a)
-                f1 = e_at(x1, pos, p)
-        return 0.5 * (a + b)
+                a = x1
+            x1 = b - GOLD * (b - a)
+            x2 = a + GOLD * (b - a)
+            f1 = e_at(x1, pos, p)
+            f2 = e_at(x2, pos, p)
+        return b
 
     for it in range(max_iter):
-        b = bracket(pos, p, pe)
+        b = bracket(pos, p, pe, g)
         if b is None:
             if log:
                 log(f"no bracket found at iter {it}; at a minimum")

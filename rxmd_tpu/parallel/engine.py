@@ -203,11 +203,14 @@ class ShardedEngine:
     def _migrate(self, s: ShardedState):
         """Move atoms whose coordinate left the local box to the face
         neighbor, one axis at a time (COPYATOMS MODE_MOVE semantics,
-        comm.F90:232-270,440)."""
+        comm.F90:232-270,440).  Returns (state, mig_max): the max send
+        count over phases so the caller can abort on buffer overflow like
+        the reference (ref: comm.F90:467-472) instead of dropping atoms."""
         nxs = self.mesh_shape
         mcap = self.mcap
         payload = s._asdict()
         valid = payload.pop("valid")
+        mig_max = jnp.int32(0)
         for ax, name in ((0, "x"), (1, "y"), (2, "z")):
             n = nxs[ax]
             if n == 1:
@@ -222,6 +225,7 @@ class ShardedEngine:
                     go = go & False       # both directions coincide; send once
                 vals, sel = jax.lax.top_k(go.astype(jnp.int32), mcap)
                 cnt = go.sum(dtype=jnp.int32)
+                mig_max = jnp.maximum(mig_max, cnt)
                 ok = vals > 0
                 send = {k: jnp.where(
                     ok.reshape((mcap,) + (1,) * (v.ndim - 1)),
@@ -247,7 +251,56 @@ class ShardedEngine:
                 valid = valid.at[dst].set(
                     jnp.where(place, True, valid[dst]), mode="drop")
         payload["valid"] = valid
-        return ShardedState(**payload)
+        return ShardedState(**payload), mig_max
+
+    # ------------------------------------------------------------------
+    def _zero_momentum(self, s: ShardedState, v):
+        """Remove global center-of-mass momentum (ref: main.F90:766-797)."""
+        m = jnp.where(s.valid, (2.0 * self.hmas)[s.types], 0.0)
+        psum = self._psum
+        vcm = psum(jnp.sum(m[:, None] * v, axis=0)) / psum(jnp.sum(m))
+        return jnp.where(s.valid[:, None], v - vcm[None, :], 0.0)
+
+    def _thermostat(self, s: ShardedState, do_scale):
+        """mdmode-dispatched velocity scaling with global psum reductions
+        (ref: main.F90:45-61; the sharded analog of md.Engine._thermostat)."""
+        cfg = self.cfg
+        v = s.vel
+        psum = self._psum
+        treq_red = cfg.treq / units.UTEMP0
+        if cfg.mdmode == 4:
+            v = jnp.where(do_scale, cfg.vsfact * v, v)
+        elif cfg.mdmode == 5:
+            ke = psum(jnp.sum(jnp.where(
+                s.valid, self.hmas[s.types] * jnp.sum(v * v, axis=1), 0.0)))
+            gn = psum(s.valid.sum(dtype=v.dtype))
+            ctmp = (treq_red * units.UTEMP0) / (ke / gn * units.UTEMP)
+            v = jnp.where(do_scale, jnp.sqrt(ctmp) * v, v)
+        elif cfg.mdmode == 7:
+            # per-element rescale to treq (ref: main.F90:722-763)
+            nso = self.hmas.shape[0]
+            w = s.valid.astype(v.dtype)
+            cnt = psum(jnp.zeros(nso, v.dtype).at[s.types].add(w))
+            ket = psum(jnp.zeros(nso, v.dtype).at[s.types].add(
+                w * self.hmas[s.types] * jnp.sum(v * v, axis=1)))
+            ctmp = jnp.where(cnt > 1.0, ket / jnp.maximum(cnt, 1.0), 1.0)
+            fac = jnp.where(
+                cnt > 1.0,
+                jnp.sqrt((treq_red * units.UTEMP0) / (ctmp * units.UTEMP)),
+                0.0)
+            v2 = self._zero_momentum(s, fac[s.types][:, None] * v)
+            v = jnp.where(do_scale, v2, v)
+        elif cfg.mdmode == 8:
+            # rescale only if >5% off target (ref: main.F90:684-718)
+            ke = psum(jnp.sum(jnp.where(
+                s.valid, self.hmas[s.types] * jnp.sum(v * v, axis=1), 0.0)))
+            gn = psum(s.valid.sum(dtype=v.dtype))
+            ctmp = jnp.sqrt((treq_red * units.UTEMP0)
+                            / (ke / gn * units.UTEMP))
+            need = jnp.abs(ctmp - 1.0) > 0.05
+            v2 = self._zero_momentum(s, ctmp * v)
+            v = jnp.where(do_scale & need, v2, v)
+        return s._replace(vel=jnp.where(s.valid[:, None], v, 0.0))
 
     # ------------------------------------------------------------------
     def _compute(self, s: ShardedState, do_qeq, prep=False):
@@ -320,7 +373,8 @@ class ShardedEngine:
         comps = comps.at[0].set(jnp.sum(comps[1:]))
         f = f + f_nb[:ncap]
         f = jnp.where(s.valid[:, None], f, 0.0)
-        return q_new, qsfp, qsfv, f, comps, nq
+        halo_max = plan.cnt_send.max()
+        return q_new, qsfp, qsfv, f, comps, nq, halo_max
 
     # ------------------------------------------------------------------
     def _build_step(self):
@@ -330,7 +384,8 @@ class ShardedEngine:
         specP = P(("x", "y", "z"))
 
         def make(do_qeq: bool):
-            def step_block(s: ShardedState, f):
+            def step_block(s: ShardedState, f, do_scale):
+                s = self._thermostat(s, do_scale)
                 w = s.valid
                 v = s.vel + self.dthm[s.types][:, None] * f
                 v = jnp.where(w[:, None], v, 0.0)
@@ -340,9 +395,10 @@ class ShardedEngine:
                 frac = s.frac + (v @ self.Hi.T) * dt
                 frac = jnp.where(w[:, None], frac % 1.0, 0.0)
                 s = s._replace(frac=frac, vel=v, qsfp=qsfp, qsfv=qsfv)
-                s = self._migrate(s)
+                s, mig_max = self._migrate(s)
 
-                q, qsfp, qsfv, f2, comps, nq = self._compute(s, do_qeq)
+                out = self._compute(s, do_qeq)
+                q, qsfp, qsfv, f2, comps, nq, halo_max = out
                 v = s.vel + self.dthm[s.types][:, None] * f2
                 v = jnp.where(s.valid[:, None], v, 0.0)
                 qsfv = qsfv + 0.5 * dt * self.lex_w2 * (q - qsfp)
@@ -350,13 +406,20 @@ class ShardedEngine:
                 ke = self._psum(jnp.sum(
                     jnp.where(s.valid, self.hmas[s.types]
                               * jnp.sum(v * v, axis=1), 0.0)))
-                return s, f2, comps, nq, ke
+                # overflow/conservation diagnostics, surfaced to the host
+                # (the reference aborts on overflow, comm.F90:467-472;
+                # atom-count conservation: main.F90:402-407 analog)
+                diag = jnp.stack([
+                    self._psum(s.valid.sum(dtype=jnp.int32)),
+                    jax.lax.pmax(mig_max, ("x", "y", "z")),
+                    jax.lax.pmax(halo_max, ("x", "y", "z"))])
+                return s, f2, comps, nq, ke, diag
 
             smap = jax.shard_map(
                 step_block, mesh=mesh,
-                in_specs=(ShardedState(*(specP,) * 8), specP),
+                in_specs=(ShardedState(*(specP,) * 8), specP, P()),
                 out_specs=(ShardedState(*(specP,) * 8), specP, P(), P(),
-                           P()))
+                           P(), P()))
             return jax.jit(smap)
 
         self._step_qeq = make(True)
@@ -366,7 +429,8 @@ class ShardedEngine:
     def prepare(self):
         """Initial QEq + FORCE (ref: main.F90:27-32) via the sharded path."""
         def prep_block(s: ShardedState):
-            q, qsfp, qsfv, f, comps, nq = self._compute(s, True, prep=True)
+            out = self._compute(s, True, prep=True)
+            q, qsfp, qsfv, f, comps, nq, _halo = out
             return s._replace(q=q, qsfp=qsfp, qsfv=qsfv), f, comps, nq
 
         specP = P(("x", "y", "z"))
@@ -375,18 +439,100 @@ class ShardedEngine:
             in_specs=(ShardedState(*(specP,) * 8),),
             out_specs=(ShardedState(*(specP,) * 8), specP, P(), P())))
         self.sstate, self.force, self.comps, self.nqeq = fn(self.sstate)
+        self.step_count = int(self.state0.step)
+        self.ke = jnp.zeros((), self.dtype)
         return self.comps
 
-    def run(self, nsteps, step0: int = 0):
+    def _check_diag(self, diag):
+        """Abort on buffer overflow / lost atoms (ref: comm.F90:467-472)."""
+        natoms, mig, hal = (int(x) for x in np.asarray(diag))
+        if mig > self.mcap:
+            raise RuntimeError(
+                f"migration buffer overflow: {mig} > mcap={self.mcap} "
+                "(the reference aborts too, comm.F90:467-472)")
+        if hal > self.bcap:
+            raise RuntimeError(
+                f"ghost buffer overflow: {hal} > bcap={self.bcap} "
+                "(the reference aborts too, comm.F90:467-472)")
+        if natoms != self.state0.n:
+            raise RuntimeError(
+                f"atom count changed: {natoms} != {self.state0.n}")
+
+    def run(self, nsteps, step0: int = None, log=None, writer=None):
         if not hasattr(self, "force"):
             self.prepare()
+            if log:
+                log(self.printe_line())
+        cfg = self.cfg
+        if step0 is None:
+            step0 = getattr(self, "step_count", 0)
+        prev_diag = None
         for k in range(nsteps):
-            fn = (self._step_qeq if (step0 + k) % self.cfg.qstep == 0
+            stepno = step0 + k
+            fn = (self._step_qeq if stepno % cfg.qstep == 0
                   else self._step_noqeq)
-            out = fn(self.sstate, self.force)
-            self.sstate, self.force, self.comps, self.nqeq, self.ke = out
+            do_scale = jnp.asarray(stepno % cfg.sstep == 0)
+            out = fn(self.sstate, self.force, do_scale)
+            (self.sstate, self.force, self.comps, self.nqeq, self.ke,
+             diag) = out
+            # diagnostics checked one step behind: no pipeline stall
+            if prev_diag is not None:
+                self._check_diag(prev_diag)
+            prev_diag = diag
+            self.step_count = stepno + 1
+            if log and self.step_count % cfg.pstep == 0:
+                log(self.printe_line())
+            if writer is not None and self.step_count % cfg.fstep == 0:
+                writer(self)
         jax.block_until_ready(self.sstate.frac)
+        if prev_diag is not None:
+            self._check_diag(prev_diag)
         return self.comps
+
+    # ------------------------------------------------------------------
+    # Output surface (gather-to-host; the reference writes shared files via
+    # MPI-IO, fileio.F90:5-20 — on a TPU mesh the host gathers instead)
+    def to_state(self) -> State:
+        """Gather the sharded state into a host-ordered State (sorted by
+        global atom id), e.g. for trajectory/checkpoint output."""
+        from ..system import make_state
+        ss = jax.device_get(self.sstate)
+        sel = np.where(ss.valid)[0]
+        order = sel[np.argsort(ss.gid[sel], kind="stable")]
+        pos = (ss.frac[order] @ np.asarray(self.Hg).T)
+        return make_state(
+            pos=pos, types=ss.types[order], H=np.asarray(self.Hg),
+            vel=ss.vel[order], q=ss.q[order], qsfp=ss.qsfp[order],
+            qsfv=ss.qsfv[order], gid=ss.gid[order],
+            step=getattr(self, "step_count", 0), dtype=self.dtype)
+
+    def printe_line(self):
+        """PRINTE-format observables (ref: main.F90:210-263)."""
+        n = self.state0.n
+        ke = float(self.ke) / n
+        pe = np.asarray(self.comps) / n
+        te = ke + pe[0]
+        tt = ke * units.UTEMP
+        qq = float(jnp.sum(jnp.where(self.sstate.valid, self.sstate.q, 0.0)))
+        return (f"MDstep: {getattr(self, 'step_count', 0):9d} {te: .5E} "
+                f"{pe[0]: .5E} {ke: .5E} "
+                f"{pe[1]: .3E} {pe[2:5].sum(): .3E} {pe[5:8].sum(): .3E} "
+                f"{pe[8:10].sum(): .3E} {pe[10]: .3E} {pe[11:14].sum(): .3E} "
+                f"{tt:8.2f} {qq:8.2f} {int(self.nqeq):4d}")
+
+    def write_frame(self, base_path: str):
+        """Write configured trajectory formats from the gathered state
+        (ref: OUTPUT fileio.F90:5-20)."""
+        from ..io import traj, refbin
+        cfg = self.cfg
+        st = self.to_state()
+        names = self.ff.atom_names
+        if cfg.is_xyz:
+            traj.write_xyz(base_path + ".xyz", st, names)
+        if cfg.is_pdb:
+            traj.write_pdb(base_path + ".pdb", st, names)
+        if cfg.is_binary:
+            refbin.write_rxff_bin(base_path + ".bin", st)
 
     @property
     def n_atoms(self):

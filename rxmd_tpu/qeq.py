@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 from .neighbors import ImageTable, Neighbors, ext_positions
 from .reax import (FFDev, _table_lerp, _table_rows, _safe, nb_ctx,
-                   cf_qeq_kernel, pair_bond_type)
+                   cf_qeq_kernel, pair_bond_type, ctx_prm)
 
 
 class QEqResult(NamedTuple):
@@ -49,7 +49,7 @@ def solve(pos, q, qsfp, H, types, img: ImageTable, nbrs: Neighbors,
           ffd: FFDev, amask=None, isqeq: int = 1, nmax: int = 500,
           tol: float = 1e-7, lex_fqs: float = 1.0, allreduce=None,
           lmin_f32: bool = False, refresh=None,
-          resident_ext=None, closed_form=None) -> QEqResult:
+          resident_ext=None, closed_form=None, pre=None) -> QEqResult:
     """Solve for charges.  isqeq=1: full CG (ref: qeq.F90:39-48);
     isqeq=2: extended-Lagrangian warm start, one iteration
     (ref: qeq.F90:51-57).
@@ -77,49 +77,62 @@ def solve(pos, q, qsfp, H, types, img: ImageTable, nbrs: Neighbors,
         amask = jnp.ones((n,), dtype=bool)
     w = amask.astype(dtype)
 
-    # gid is only used by ctx for the self-image exclusion mask, which QEq
-    # does NOT apply (the reference's qeq pair list keeps periodic
-    # self-images, qeq.F90:200-256) — pass a dummy
-    gid0 = jnp.zeros(pos.shape[0], jnp.int32)
-    ctx = nb_ctx(pos, q, H, types, img, nbrs, gid0, amask, ffd)
-    mask = nbrs.masknb
-    in_range = mask & (ctx.dr2 < ffd.rctap2)
-    if closed_form:
-        hess = cf_qeq_kernel(ctx.dr2, ctx.prm, ffd, in_range)
+    if pre is not None:
+        # shared per-step pair context + table rows (reax.pair_rows) — the
+        # QEq hessian column rides the same gather as the nonbond kernels
+        ctx, rows, ok = pre
+        hess = jnp.where(ok & (ctx.dr2 < ffd.rctap2), rows[..., 4], 0.0)
     else:
-        bc = pair_bond_type(ctx, types, ffd)
-        ok = in_range & (bc >= 0)
-        rows = _table_rows(ffd, jnp.where(ok, bc, 0), ctx.dr2, ok)
-        hess = jnp.where(ok, rows[..., 4], 0.0)
+        # gid is only used by ctx for the self-image exclusion mask, which
+        # QEq does NOT apply (the reference's qeq pair list keeps periodic
+        # self-images, qeq.F90:200-256) — pass a dummy
+        gid0 = jnp.zeros(pos.shape[0], jnp.int32)
+        ctx = nb_ctx(pos, None, H, types, img, nbrs, gid0, amask, ffd)
+        in_range = nbrs.masknb & (ctx.dr2 < ffd.rctap2)
+        if closed_form:
+            hess = cf_qeq_kernel(ctx.dr2, ctx_prm(ctx, types, ffd), ffd,
+                                 in_range)
+        else:
+            bc = pair_bond_type(ctx, types, ffd)
+            ok = in_range & (bc >= 0)
+            rows = _table_rows(ffd, jnp.where(ok, bc, 0), ctx.dr2, ok)
+            hess = jnp.where(ok, rows[..., 4], 0.0)
+    mask = nbrs.masknb
     oj = img.owner_of(ctx.idx)
     eta = jnp.where(amask, ffd.eta[types], 0.0)
     chi = jnp.where(amask, ffd.chi[types], 0.0)
 
     # Est pair weight: 0.5 per directed entry plus another 0.5 when the
-    # neighbor is locally resident (ref: qeq.F90:304-306).
+    # neighbor is locally resident (ref: qeq.F90:304-306).  With the
+    # image-table layout residency is just `ext index < n` — a compare, not
+    # a gather; the sharded engine passes its own resident mask.
     idxnb = jnp.where(mask, nbrs.idxnb, 0)
     if resident_ext is None:
-        resident_ext = jnp.arange(img.owner.shape[0]) < n
-    est_w = jnp.where(resident_ext[idxnb], 1.0, 0.5)
+        est_w = jnp.where(idxnb < n, 1.0, 0.5)
+    else:
+        est_w = jnp.where(resident_ext[idxnb], 1.0, 0.5)
     hz = jnp.where(mask, hess, 0.0)
 
-    # On a single shard the sparse ELL matvec (a row gather per sweep) is
-    # gather-bound; fold the owner mapping into a dense matrix once and ride
-    # the MXU instead.  Even the 1-iteration extended-Lagrangian solve does
-    # ~4 neighborhood sweeps (initial gradient, H*h, pair energy, new
-    # gradient), so the single dense build (one scatter sweep) wins there
-    # too.  Memory caps the dense path at n <= 8192 (256 MB f32).
-    dense = local_only and n <= 8192
+    def pair_energy(qcur):
+        """Σ_k est_w·H_ik·q_k per atom i, ELL form (one row gather per
+        call — it runs once per CG iteration, so a dense fold would cost
+        more to build than it saves)."""
+        qj = jnp.where(mask, refresh(qcur)[oj], 0.0)
+        return jnp.sum(est_w * hz * qj, axis=1) * qcur
+
+    # On a single shard a long CG solve is gather-bound in ELL form; fold
+    # the owner mapping into a dense matrix once and ride the MXU instead.
+    # The 1-iteration extended-Lagrangian mode does only ~3 matvec sweeps,
+    # where three (n,knb,2) row gathers are cheaper than one dense scatter
+    # build — it stays in ELL form.  Memory caps the dense path at
+    # n <= 8192 (256 MB f32).
+    dense = local_only and n <= 8192 and not (isqeq == 2)
     if dense:
         row = jnp.broadcast_to(jnp.arange(n)[:, None], oj.shape)
         Hd = jnp.zeros((n, n), dtype).at[row, oj].add(hz)
-        Ew = jnp.zeros((n, n), dtype).at[row, oj].add(est_w * hz)
 
         def matvec2(X):                      # X: (n, 2)
             return eta[:, None] * X + Hd @ X
-
-        def pair_energy(qcur):
-            return (Ew @ qcur) * qcur
     else:
         def matvec2(X):
             """(eta*I + H) X for stacked vectors, ghosts refreshed."""
@@ -128,10 +141,6 @@ def solve(pos, q, qsfp, H, types, img: ImageTable, nbrs: Neighbors,
             return (eta[:, None] * X
                     + jnp.einsum("nk,nkc->nc", hz, Xs,
                                  preferred_element_type=dtype))
-
-        def pair_energy(qcur):
-            qj = jnp.where(mask, refresh(qcur)[oj], 0.0)
-            return jnp.sum(est_w * hz * qj, axis=1) * qcur
 
     def gradient(X):
         rhs = jnp.stack([-chi, -w], axis=1)            # (n, 2)

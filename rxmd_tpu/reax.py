@@ -298,46 +298,81 @@ class NbCtx(NamedTuple):
     dr: jax.Array       # (n, knb, 3) r_i - r_j  (stop-gradient)
     dr2: jax.Array      # (n, knb)
     qj: jax.Array       # (n, knb)
-    tjoh: jax.Array     # (n, knb, nso) neighbor-type one-hot
-    prm: jax.Array      # (n, knb, 11) closed-form pair params (col 0=exists)
+    tjf: jax.Array      # (n, knb) neighbor type as float (gathered col)
+    nso: int            # number of atom types (static)
+
+
+def ctx_tjoh(ctx: NbCtx):
+    """Neighbor-type one-hot (n, knb, nso), computed on the fly from the
+    gathered float type column (a VPU compare, cheaper than gathering nso
+    one-hot columns per pair)."""
+    t = jax.lax.broadcasted_iota(ctx.tjf.dtype, (ctx.nso,), 0)
+    return (ctx.tjf[..., None] == t).astype(ctx.tjf.dtype)
+
+
+def ctx_prm(ctx: NbCtx, types, ffd: FFDev):
+    """Closed-form pair params (n, knb, P) for the analytic kernels:
+    one-hot x per-row param matrix (MXU batched matmul, exact)."""
+    prow = ffd.cf_pair[types]                # (n, nso, P): tiny gather
+    return jnp.einsum("nkc,ncp->nkp", ctx_tjoh(ctx), prow,
+                      preferred_element_type=prow.dtype)
+
+
+def ctx_qj(ctx: NbCtx, q, img: ImageTable):
+    """Neighbor charges (n, knb) for a given charge vector — a 1-column
+    gather, so QEq (pre-solve q) and the nonbond kernels (post-solve q) can
+    share one geometry context."""
+    qe = jnp.tile(q, img.n_images) if img.n_images > 1 else q
+    return qe[ctx.idx]
+
+
+def pair_rows(ctx: NbCtx, types, ffd: FFDev):
+    """All 5 packed interpolation-table columns over the pair context
+    (Evdw, Eclmb, dEvdw, dEclmb, Hqeq — ref: POTENTIALTABLE init.F90:421-522)
+    plus the pair-exists mask.  Built ONCE per step and shared by the QEq
+    hessian and the nonbond kernels (they walk the same pair list)."""
+    bc = pair_bond_type(ctx, types, ffd)
+    ok = ctx.mask & (bc >= 0)
+    rows = _table_rows(ffd, jnp.where(ok, bc, 0), ctx.dr2, ok)
+    return rows, ok
 
 
 def nb_ctx(pos, q, H, types, img: ImageTable, nbrs: Neighbors, gid, amask,
            ffd: FFDev) -> NbCtx:
-    """Build the shared nonbonded pair data with a single packed row gather.
-    Not differentiable (the fast force paths use the analytic derivative
-    columns instead of autodiff, ref: pot.F90:736-761)."""
+    """Build the shared nonbonded pair data with a single packed row gather
+    of 4-5 columns (pose, [q,] type); type-dependent per-pair params are
+    derived on demand (`ctx_tjoh`/`ctx_prm`), and q=None omits the charge
+    column (gather it later with `ctx_qj`).  Not differentiable (the fast
+    force paths use the analytic derivative columns instead of autodiff,
+    ref: pot.F90:736-761)."""
     n = pos.shape[0]
     nso = ffd.cf_pair.shape[0]
     dtype = pos.dtype
     pos = jax.lax.stop_gradient(pos)
     pose = ext_positions(pos, H, img)
     S = img.n_images
-    toh = jax.nn.one_hot(types, nso, dtype=dtype)
-    if S > 1:
-        qe = jnp.tile(q, S)
-        tohe = jnp.tile(toh, (S, 1))
-    else:
-        qe, tohe = q, toh
-    packed = jnp.concatenate([pose, qe[:, None], tohe], axis=1)
+    tf = types.astype(dtype)
+    tfe = jnp.tile(tf, S) if S > 1 else tf
+    cols = [pose, tfe[:, None]]
+    if q is not None:
+        qe = jnp.tile(q, S) if S > 1 else q
+        cols.insert(1, qe[:, None])
+    packed = jnp.concatenate(cols, axis=1)
     masks = nbrs.masknb
     idx = jnp.where(masks, nbrs.idxnb, 0)
-    rows = packed[idx]                       # (n, knb, 4+nso): the ONE gather
+    rows = packed[idx]                       # (n, knb, 4|5): the ONE gather
     dr = pos[:, None, :] - rows[..., :3]
     dr2 = jnp.sum(dr * dr, axis=-1)
-    qj = rows[..., 3]
-    tjoh = rows[..., 4:]
+    qj = rows[..., 3] if q is not None else None
+    tjf = rows[..., -1]
     if S > 1:
         # image mode: same owner <=> same global id
         notself = img.owner_of(idx) != jnp.arange(n)[:, None]
     else:
         notself = gid[idx] != gid[:, None]   # sharded: ghosts carry gids
     mask = masks & (dr2 <= ffd.rctap2) & amask[:, None]
-    prow = ffd.cf_pair[types]                # (n, nso, 11): tiny gather
-    prm = jnp.einsum("nkc,ncp->nkp", tjoh, prow,
-                     preferred_element_type=dtype)
     return NbCtx(idx=idx, mask=mask, notself=notself, dr=dr, dr2=dr2,
-                 qj=qj, tjoh=tjoh, prm=prm)
+                 qj=qj, tjf=tjf, nso=nso)
 
 
 def _taper_pair(dr2, dr1, ctap):
@@ -407,9 +442,9 @@ def cf_qeq_kernel(dr2, prm, ffd: FFDev, mask):
 def pair_bond_type(ctx: NbCtx, types, ffd: FFDev):
     """Per-pair bond-type index via one-hot contraction (exact: one-hot x
     integer values), avoiding a 2.6M-element (nso,nso) table gather."""
-    bcrow = ffd.inxn2[types].astype(ctx.tjoh.dtype)       # (n, nso) tiny
-    bcf = jnp.einsum("nkc,nc->nk", ctx.tjoh, bcrow,
-                     preferred_element_type=ctx.tjoh.dtype)
+    bcrow = ffd.inxn2[types].astype(ctx.tjf.dtype)        # (n, nso) tiny
+    bcf = jnp.einsum("nkc,nc->nk", ctx_tjoh(ctx), bcrow,
+                     preferred_element_type=ctx.tjf.dtype)
     return jnp.round(bcf).astype(jnp.int32)
 
 
@@ -426,15 +461,31 @@ def _table_rows(ffd: FFDev, bc, dr2, mask):
     return (1.0 - w) * r0 + w * r1
 
 
-def nonbond_tbl_energy_forces(ctx: NbCtx, q, types, amask, ffd: FFDev):
+def _pair_virial(ffac, dr):
+    """Pair virial W_ab = -dE/deps_ab over directed rows: each undirected
+    pair appears twice, hence the 0.5 (the TPU analog of the reference's
+    Σ pos·f accumulation incl. ghost rows, pot.F90:65-72)."""
+    return -0.5 * jnp.einsum("nk,nka,nkb->ab", ffac, dr, dr,
+                             preferred_element_type=dr.dtype)
+
+
+def nonbond_tbl_energy_forces(ctx: NbCtx, q, types, amask, ffd: FFDev,
+                              with_virial=False, pre=None, img=None):
     """van der Waals + Coulomb energies AND explicit forces from the
     reference's derivative tables (ref: pot.F90:736-761) over the shared
     pair context.  Values are bit-identical to the reference's table
-    interpolation; forces accumulate row-locally (no backward scatter)."""
-    bc = pair_bond_type(ctx, types, ffd)
-    m = ctx.mask & ctx.notself & (bc >= 0)
-    rows = _table_rows(ffd, jnp.where(m, bc, 0), ctx.dr2, m)
-    qq = q[:, None] * ctx.qj
+    interpolation; forces accumulate row-locally (no backward scatter).
+    `pre=(rows, ok)` reuses table rows already gathered by `pair_rows`
+    (shared with the QEq hessian)."""
+    if pre is not None:
+        rows, ok = pre
+        m = ok & ctx.notself & ctx.mask
+    else:
+        bc = pair_bond_type(ctx, types, ffd)
+        m = ctx.mask & ctx.notself & (bc >= 0)
+        rows = _table_rows(ffd, jnp.where(m, bc, 0), ctx.dr2, m)
+    qj = ctx.qj if ctx.qj is not None else ctx_qj(ctx, q, img)
+    qq = q[:, None] * qj
     evdw = 0.5 * jnp.sum(jnp.where(m, rows[..., 0], 0.0))
     eclmb = 0.5 * jnp.sum(jnp.where(m, rows[..., 1] * qq, 0.0))
     ffac = jnp.where(m, rows[..., 2] + rows[..., 3] * qq, 0.0)
@@ -443,19 +494,24 @@ def nonbond_tbl_energy_forces(ctx: NbCtx, q, types, amask, ffd: FFDev):
         amask,
         units.CECHRGE * (ffd.chi[types] * q + 0.5 * ffd.eta[types] * q * q),
         0.0))
+    if with_virial:
+        return evdw, eclmb, echarge, f, _pair_virial(ffac, ctx.dr)
     return evdw, eclmb, echarge, f
 
 
-def nonbond_cf_energy_forces(ctx: NbCtx, q, types, amask, ffd: FFDev):
+def nonbond_cf_energy_forces(ctx: NbCtx, q, types, amask, ffd: FFDev,
+                             with_virial=False, img=None):
     """vdW + Coulomb energies and row-local forces from the closed-form
     kernels.  Directed-pair enumeration: forces accumulate on the row atom
     only (no backward scatter); energies carry the 0.5 double-count factor.
     Production analog of `nonbond_tbl_energy_forces` (same force expression
     as ref pot.F90:736-761, analytic instead of interpolated)."""
     m = ctx.mask & ctx.notself
-    evdw_p, eclmb1, devdw, declmb1, ok = cf_nonbond(ctx.dr2, ctx.prm, ffd, m)
+    evdw_p, eclmb1, devdw, declmb1, ok = cf_nonbond(
+        ctx.dr2, ctx_prm(ctx, types, ffd), ffd, m)
     m = m & ok
-    qq = q[:, None] * ctx.qj
+    qj = ctx.qj if ctx.qj is not None else ctx_qj(ctx, q, img)
+    qq = q[:, None] * qj
     evdw = 0.5 * jnp.sum(jnp.where(m, evdw_p, 0.0))
     eclmb = 0.5 * jnp.sum(jnp.where(m, eclmb1 * qq, 0.0))
     ffac = jnp.where(m, devdw + declmb1 * qq, 0.0)
@@ -464,6 +520,8 @@ def nonbond_cf_energy_forces(ctx: NbCtx, q, types, amask, ffd: FFDev):
         amask,
         units.CECHRGE * (ffd.chi[types] * q + 0.5 * ffd.eta[types] * q * q),
         0.0))
+    if with_virial:
+        return evdw, eclmb, echarge, f, _pair_virial(ffac, ctx.dr)
     return evdw, eclmb, echarge, f
 
 
@@ -1112,6 +1170,103 @@ def e_4body(pos, H, types, img, nbrs, bo: BondOrder, amask, gid,
             jnp.sum(jnp.where(valid, peconj, 0.0)))
 
 
+class HBondList(NamedTuple):
+    """Flat hydrogen-bond list: one entry per (donor i, H-slot a, acceptor
+    slot c).  Built on the rebuild cadence with slackened gates and
+    re-gated live at evaluation (same caching contract as Angle/Torsion
+    lists)."""
+    i: jax.Array        # (M,) donor row
+    a: jax.Array        # (M,) bonded slot of hydrogen j in nbrs.idxb[i]
+    c: jax.Array        # (M,) nonbonded slot of acceptor k in nbrs.idxnb[i]
+    prm: jax.Array      # (M, 4) r0, phb1, phb2, phb3
+    valid: jax.Array    # (M,)
+    cnt: jax.Array      # () true candidate count (overflow surfaced)
+
+
+def _hbond_mask(pos, H, types, img, nbrs, bo: BondOrder, amask, ffd: FFDev,
+                kh: int, slack: float = 1.0, margin: float = 0.0):
+    """(n, kh, knb) hbond candidate validity over compacted H slots
+    (ref enumeration: pot.F90:587-631; donor i, central H j bonded to i,
+    acceptor k from i's nonbonded list within rchb)."""
+    n, kb = nbrs.idxb.shape
+    kh = min(kh, kb)
+    maskb = bo.mask
+    idxb = jnp.where(maskb, nbrs.idxb, 0)
+    tj = types[img.owner_of(idxb)]
+    bo0_sg = jax.lax.stop_gradient(bo.bo[..., 0])
+    mask_ij = (maskb & (tj == ffd.h_type)
+               & (bo0_sg > units.MINBO0 * slack) & amask[:, None])
+    hslot, hvalid, _ = _row_topk_slots(mask_ij, kh)
+    row = jnp.arange(n)[:, None]
+    idx_h = idxb[row, hslot]
+    th = tj[row, hslot]
+    idxnb = jnp.where(nbrs.masknb, nbrs.idxnb, 0)
+    pose = jax.lax.stop_gradient(ext_positions(pos, H, img))
+    rik = jax.lax.stop_gradient(pos)[:, None, :] - pose[idxnb]
+    rik2 = jnp.sum(rik * rik, axis=-1)
+    rchb2_m = (float(np.sqrt(units.RCHB2)) + margin) ** 2
+    hbty = ffd.inxn3hb[types[:, None, None], th[:, :, None],
+                       types[img.owner_of(idxnb)][:, None, :]]
+    m = (hvalid[:, :, None] & nbrs.masknb[:, None, :] & (hbty >= 0)
+         & (idx_h[:, :, None] != idxnb[:, None, :])
+         & (rik2 < rchb2_m)[:, None, :])
+    return m, hslot, hbty
+
+
+def build_hbond_list(pos, H, types, img, nbrs, bo: BondOrder, amask,
+                     ffd: FFDev, cap: int = 1024, kh: int = 4,
+                     slack: float = 1.0, margin: float = 0.0) -> HBondList:
+    """Compact flat hbond list; `cap` is the TOTAL entry capacity."""
+    n, kb = nbrs.idxb.shape
+    if ffd.r0hb.shape[0] == 0:
+        z = jnp.zeros((cap,), jnp.int32)
+        return HBondList(i=z, a=z, c=z, prm=jnp.zeros((cap, 4), pos.dtype),
+                         valid=jnp.zeros((cap,), bool), cnt=jnp.int32(0))
+    m, hslot, hbty = _hbond_mask(pos, H, types, img, nbrs, bo, amask, ffd,
+                                 kh, slack, margin)
+    kh = hslot.shape[1]
+    knb = nbrs.idxnb.shape[1]
+    fidx, valid, cnt = _flat_compact(m.reshape(-1), cap)
+    i = fidx // (kh * knb)
+    s = fidx % (kh * knb)
+    a_h = s // knb
+    c = (s % knb).astype(jnp.int32)
+    a = hslot[i, a_h].astype(jnp.int32)
+    prm = ffd.hbprm[jnp.where(valid, hbty[i, a_h, c], 0)]
+    return HBondList(i=i.astype(jnp.int32), a=a, c=c, prm=prm,
+                     valid=valid, cnt=cnt)
+
+
+def e_hbond_list(pos, H, types, img, nbrs, bo: BondOrder, hl: HBondList,
+                 ffd: FFDev):
+    """Hydrogen-bond energy over a (possibly cached) flat list with live
+    re-gating — identical energies to the per-step grid enumeration
+    (ref: pot.F90:587-665)."""
+    if ffd.r0hb.shape[0] == 0:
+        return jnp.asarray(0.0, pos.dtype)
+    i, a, c = hl.i, hl.a, hl.c
+    pose = ext_positions(pos, H, img)
+    j_idx = jnp.where(hl.valid, nbrs.idxb[i, a], 0)
+    k_idx = jnp.where(hl.valid, nbrs.idxnb[i, c], 0)
+    bo_ij = bo.bo[i, a, 0]
+    # live gates: exact reference semantics under list staleness
+    rik = pos[i] - pose[k_idx]
+    rik2_sg = jax.lax.stop_gradient(jnp.sum(rik * rik, axis=-1))
+    valid = (hl.valid
+             & (jax.lax.stop_gradient(bo_ij) > units.MINBO0)
+             & (rik2_sg < units.RCHB2))
+    r0, phb1_, phb2_, phb3_ = [hl.prm[:, k] for k in range(4)]
+    rij = pos[i] - pose[j_idx]
+    rjk = pose[j_idx] - pose[k_idx]
+    cos_ijk, _, njk = _angle_cos(rij, rjk, valid)
+    sin_xhz4 = ((1.0 - cos_ijk) * 0.5) ** 2        # sin^4(theta/2)
+    exp_hb2 = jnp.exp(-phb2_ * bo_ij)
+    r0 = jnp.where(valid & (r0 > 0.0), r0, 1.0)
+    exp_hb3 = jnp.exp(-phb3_ * (r0 / njk + njk / r0 - 2.0))
+    pehb = phb1_ * (1.0 - exp_hb2) * exp_hb3 * sin_xhz4
+    return jnp.sum(jnp.where(valid, pehb, 0.0))
+
+
 def e_hbond(pos, H, types, img, nbrs, bo: BondOrder, amask, ffd: FFDev,
             cap: int = 64, kh: int = 6, ctx: NbCtx = None):
     """Hydrogen bond energy (ref: pot.F90:587-665).
@@ -1151,14 +1306,14 @@ def e_hbond(pos, H, types, img, nbrs, bo: BondOrder, amask, ffd: FFDev,
         # dense grid is pure VPU work (~10M lanes ≈ a few ms) plus one
         # differentiable acceptor row gather shared across all H slots.
         hbrow = ffd.hbok[types[:, None], th]           # (n, kh, nso) tiny
-        okt = jnp.einsum("nkc,nhc->nhk", ctx.tjoh, hbrow,
+        okt = jnp.einsum("nkc,nhc->nhk", ctx_tjoh(ctx), hbrow,
                          preferred_element_type=hbrow.dtype) > 0.5
         valid = (hvalid[:, :, None] & masknb[:, None, :] & okt
                  & (idx_h[:, :, None] != idxnb[:, None, :])   # j != k
                  & (ctx.dr2 < units.RCHB2)[:, None, :])
         # per-lane params via one-hot contraction over the acceptor type
         hbP = ffd.hbprm[ffd.inxn3hb[types[:, None], th]]   # (n, kh, nso, 4)
-        prm = jnp.einsum("nkc,nhcp->nhkp", ctx.tjoh, hbP,
+        prm = jnp.einsum("nkc,nhcp->nhkp", ctx_tjoh(ctx), hbP,
                          preferred_element_type=hbP.dtype)
         r0 = jnp.where(valid & (prm[..., 0] > 0.0), prm[..., 0], 1.0)
         phb1_, phb2_, phb3_ = prm[..., 1], prm[..., 2], prm[..., 3]
@@ -1335,15 +1490,19 @@ def energy_components(pos, q, H, types, gid, img: ImageTable,
     bo = bond_order(pos, H, types, img, nbrs, ffd)
     lp = lone_pair(types, bo.delta, ffd)
 
-    al, tl = lists if lists is not None else (None, None)
+    al, tl, hl = (tuple(lists) + (None,) * 3)[:3] if lists is not None \
+        else (None, None, None)
     ebond = e_bond(types, img, nbrs, bo, gid, amask, ffd)
     elp, eover, eunder = e_lnpr(types, img, nbrs, bo, lp, amask, ffd)
     eval_, epen, ecoa = e_3body(pos, H, types, img, nbrs, bo, lp, amask, ffd,
                                 cap=caps["ang"], ks=caps["ks"], al=al)
     etors, econj = e_4body(pos, H, types, img, nbrs, bo, amask, gid, ffd,
                            cap=caps["tor"], ks=caps["ks"], tl=tl)
-    ehb = e_hbond(pos, H, types, img, nbrs, bo, amask, ffd, cap=caps["hb"],
-                  kh=caps["kh"], ctx=ctx)
+    if hl is not None:
+        ehb = e_hbond_list(pos, H, types, img, nbrs, bo, hl, ffd)
+    else:
+        ehb = e_hbond(pos, H, types, img, nbrs, bo, amask, ffd,
+                      cap=caps["hb"], kh=caps["kh"], ctx=ctx)
     if not include_nonbond:
         z = jnp.zeros_like(ebond)
         evdw = eclmb = echarge = z
@@ -1369,8 +1528,9 @@ def total_energy(pos, q, H, types, gid, img, nbrs, ffd, amask=None,
 
 def energy_and_forces(pos, q, H, types, gid, img, nbrs, ffd, amask=None,
                       caps=None, pq=None, spos=None, fast_nonbond=True,
-                      closed_form=None, lists=None):
-    """(PE components, forces).
+                      closed_form=None, lists=None, with_virial=False,
+                      ctx=None, rows_pre=None):
+    """(PE components, forces[, virial]).
 
     Bonded forces are exact -dE/dpos via autodiff; the ghost-force reduction
     (reference MODE_CPBK, comm.F90:74-78) happens automatically in the
@@ -1385,31 +1545,59 @@ def energy_and_forces(pos, q, H, types, gid, img, nbrs, ffd, amask=None,
     row gathers), so they are the default.  The closed form is the exact
     analytic kernel — physically cleaner, but it differs from the golden
     trace by the reference table's own interpolation error (~2e-3/atom).
+
+    `with_virial` additionally returns the (3, 3) potential virial
+    W_ab = -dE/deps_ab via the strain gradient, sharing the force backward
+    pass (the autodiff analog of the reference's per-step Σ pos·f stress
+    accumulation, pot.F90:65-72).
     """
     use_fast = fast_nonbond and pq is None
     if closed_form is None:
         closed_form = False
     if amask is None:
         amask = jnp.ones(pos.shape[0], dtype=bool)
-    ctx = nb_ctx(pos, q, H, types, img, nbrs, gid, amask, ffd)
+    if ctx is None:
+        ctx = nb_ctx(pos, q, H, types, img, nbrs, gid, amask, ffd)
 
-    def etot(p):
-        c = energy_components(p, q, H, types, gid, img, nbrs, ffd, amask,
-                              caps, pq, spos, include_nonbond=not use_fast,
-                              ctx=ctx, lists=lists)
-        return c[0], c
-    (_, comps), grad = jax.value_and_grad(etot, has_aux=True)(pos)
-    f = -grad
+    def ecomps(p, H_):
+        return energy_components(p, q, H_, types, gid, img, nbrs, ffd,
+                                 amask, caps, pq, spos,
+                                 include_nonbond=not use_fast,
+                                 ctx=ctx, lists=lists)
+
+    w = None
+    if with_virial:
+        def etot(p, eps):
+            strain = jnp.eye(3, dtype=pos.dtype) + eps
+            c = ecomps(p @ strain.T, strain @ H)
+            return c[0], c
+        eps0 = jnp.zeros((3, 3), pos.dtype)
+        (_, comps), (gp, ge) = jax.value_and_grad(
+            etot, argnums=(0, 1), has_aux=True)(pos, eps0)
+        f = -gp
+        w = -ge
+    else:
+        def etot(p):
+            c = ecomps(p, H)
+            return c[0], c
+        (_, comps), grad = jax.value_and_grad(etot, has_aux=True)(pos)
+        f = -grad
     if use_fast:
         if closed_form:
-            evdw, eclmb, echarge, f_nb = nonbond_cf_energy_forces(
-                ctx, q, types, amask, ffd)
+            out = nonbond_cf_energy_forces(ctx, q, types, amask, ffd,
+                                           with_virial=with_virial, img=img)
         else:
-            evdw, eclmb, echarge, f_nb = nonbond_tbl_energy_forces(
-                ctx, q, types, amask, ffd)
+            out = nonbond_tbl_energy_forces(ctx, q, types, amask, ffd,
+                                            with_virial=with_virial,
+                                            pre=rows_pre, img=img)
+        evdw, eclmb, echarge, f_nb = out[:4]
         comps = comps.at[11].set(evdw).at[12].set(eclmb).at[13].set(echarge)
         comps = comps.at[0].set(jnp.sum(comps[1:]))
         f = f + f_nb
+        if with_virial:
+            w = w + out[4]
+    if with_virial:
+        return comps, f, w
     return comps, f
 
 
@@ -1439,30 +1627,19 @@ def term_counts(pos, H, types, gid, img, nbrs, ffd, amask=None,
     mask4, _, _ = _torsion_mask(types, gid, img, nbrs, bo, amask, ffd,
                                 ks=ksp, slack=slack, margin=margin)
     tor = int(mask4.sum())                     # TOTAL entries (flat lists)
-    # hbond: H-neighbors of i times worst-case acceptors is loose; count
-    # H-bonded slots and scale by a modest acceptor estimate
+    # hbond: count H-bonded slots, per-donor pair occupancy (compacted
+    # per-atom mode) and the TOTAL flat candidate count (cached flat list),
+    # with the same slack/margin gates the builder will use
     idx = jnp.where(bo.mask, nbrs.idxb, 0)
     is_h = (types[img.owner_of(idx)] == ffd.h_type) & bo.mask \
-        & (bo0 > units.MINBO0)
+        & (bo0 > units.MINBO0 * slack)
     h_slots = int(is_h.sum(axis=1).max())
-    # exact hbond pair count per donor row, over the compacted H slots
-    hb = 0
+    hb = hbf = 0
     if ffd.r0hb.shape[0] > 0 and h_slots > 0:
         kh = min(h_slots, kb)
-        hslot, hvalid, _ = _row_topk_slots(is_h, kh)
-        row = jnp.arange(n)[:, None]
-        idx_h = idx[row, hslot]
-        th = types[img.owner_of(idx_h)]
-        pose = ext_positions(pos, H, img)
-        idxnb = jnp.where(nbrs.masknb, nbrs.idxnb, 0)
-        tnb = types[img.owner_of(idxnb)]
-        hbty = ffd.inxn3hb[types[:, None, None], th[:, :, None],
-                           tnb[:, None, :]]
-        rik = pos[:, None, :] - pose[idxnb]
-        rik2 = jnp.sum(rik * rik, axis=-1)
-        m = (hvalid[:, :, None] & nbrs.masknb[:, None, :] & (hbty >= 0)
-             & (idx_h[:, :, None] != idxnb[:, None, :])
-             & (rik2 < units.RCHB2)[:, None, :])
+        m, _, _ = _hbond_mask(pos, H, types, img, nbrs, bo, amask, ffd,
+                              kh, slack, margin)
         hb = int(m.sum(axis=(1, 2)).max())
-    return {"ang": ang, "tor": tor, "hb": hb, "degmax": degmax,
+        hbf = int(m.sum())
+    return {"ang": ang, "tor": tor, "hb": hb, "hbf": hbf, "degmax": degmax,
             "h_slots": h_slots}

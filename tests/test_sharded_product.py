@@ -1,0 +1,132 @@
+"""Sharded-engine product surface: CLI vprocs wiring, 1-vs-2-device
+trajectory match, thermostats on the sharded path, overflow traps,
+gather-to-host output (VERDICT r1 items 3/5/6)."""
+import dataclasses
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from rxmd_tpu import ffield, system, md
+from rxmd_tpu.config import RunConfig
+from rxmd_tpu.parallel.engine import ShardedEngine
+
+FF = "/root/reference/ffield"
+CELL = "/root/reference/conf/init.rdx/input.xyz"
+
+
+@pytest.mark.slow
+def test_two_device_trajectory_matches_single(tmp_path):
+    """3 NVE steps with full QEq: the 2-device domain-decomposed
+    trajectory matches the single-device engine (the reference's
+    examples/2-reaxff-dc check, Makefile:5)."""
+    ff = ffield.parse_ffield(FF)
+    st = system.from_cellfile(CELL, ff.name_to_type, mc=(2, 1, 1))
+    cfg = RunConfig(mdmode=1, dt_fs=0.25, isQEq=1, QEq_tol=1e-7, qstep=1,
+                    pstep=100, sstep=1000)
+
+    e1 = md.Engine(ff, st, cfg)
+    e1.prepare()
+    e1.run(3, log=None)
+    s1 = e1.state
+
+    e2 = ShardedEngine(ff, st, cfg, mesh_shape=(2, 1, 1),
+                       devices=jax.devices()[:2])
+    e2.prepare()
+    e2.run(3)
+    s2 = e2.to_state()
+
+    # gather ordering is by gid; engine order == gid order for this deck
+    assert s2.n == s1.n
+    assert np.array_equal(np.asarray(s2.gid), np.asarray(s1.gid))
+    # positions: e1 drifts unwrapped, e2 wraps every step -> compare frac
+    Hi = np.linalg.inv(np.asarray(st.H))
+    f1 = (np.asarray(s1.pos) @ Hi.T) % 1.0
+    f2 = (np.asarray(s2.pos) @ Hi.T) % 1.0
+    d = np.abs(f1 - f2)
+    d = np.minimum(d, 1.0 - d)                 # periodic distance
+    assert d.max() < 2e-7   # QEq tol 1e-7 bounds the path difference
+    assert np.abs(np.asarray(s1.q) - np.asarray(s2.q)).max() < 1e-7
+    line = e2.printe_line()
+    assert "MDstep:" in line and len(line.split()) == 15
+
+
+def test_sharded_thermostat_mdmode5():
+    """mdmode=5 velocity rescale on the sharded path hits treq exactly."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    from rxmd_tpu import units
+    ff = ffield.parse_ffield(FF)
+    st = system.from_cellfile(CELL, ff.name_to_type, mc=(2, 1, 1),
+                              dtype=jnp.float64)
+    cfg = RunConfig(mdmode=5, dt_fs=0.25, isQEq=0, treq=300.0, sstep=1,
+                    pstep=100)
+    eng = ShardedEngine(ff, st, cfg, mesh_shape=(2, 1, 1),
+                        devices=jax.devices()[:2])
+    rng = np.random.default_rng(7)
+    v = rng.normal(size=eng.sstate.vel.shape) * 1e-3
+    v[~np.asarray(eng.sstate.valid)] = 0.0
+    eng.sstate = eng.sstate._replace(vel=jnp.asarray(v, eng.dtype))
+    eng.force = jnp.zeros_like(eng.sstate.vel)
+    eng.comps = jnp.zeros(14, eng.dtype)
+    eng.nqeq = jnp.int32(0)
+    eng.run(1)
+    # after the rescale at step 0 the pre-kick KE corresponds to treq;
+    # with zero charge and one force step T stays within a few % of treq
+    t = float(eng.ke) / st.n * units.UTEMP
+    assert abs(t - 300.0) / 300.0 < 0.05
+
+
+def test_migration_overflow_trap():
+    """Deliberately tiny mcap: mass migration must raise, not drop atoms
+    (ref: comm.F90:467-472)."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    ff = ffield.parse_ffield(FF)
+    st = system.from_cellfile(CELL, ff.name_to_type, mc=(2, 1, 1))
+    cfg = RunConfig(mdmode=1, dt_fs=0.25, isQEq=0, pstep=100, sstep=1000)
+    eng = ShardedEngine(ff, st, cfg, mesh_shape=(2, 1, 1),
+                        devices=jax.devices()[:2], mcap=2)
+    eng.prepare()
+    # teleport many device-0 atoms into device 1's half-box
+    ss = eng.sstate
+    frac = np.asarray(ss.frac).copy()
+    valid = np.asarray(ss.valid)
+    ncap = eng.ncap
+    sel = np.where(valid[:ncap])[0][:8]
+    frac[sel, 0] = 0.75
+    eng.sstate = ss._replace(frac=jnp.asarray(frac, eng.dtype))
+    with pytest.raises(RuntimeError, match="migration buffer overflow"):
+        eng.run(2)
+
+
+def test_cli_vprocs_two_devices(tmp_path):
+    """`python -m rxmd_tpu` with processors 2 1 1 runs end-to-end on two
+    virtual devices and writes gathered output (VERDICT r1 item 6)."""
+    outdir = tmp_path / "DAT"
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=2")
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)   # keep the axon TPU plugin out
+    r = subprocess.run(
+        [sys.executable, "-m", "rxmd_tpu",
+         "--rxmdin", "/dev/null",
+         "--ffield", FF, "--run_from_xyz", CELL,
+         "--mc", "2", "1", "1",
+         "--ntime_step", "2", "--pstep", "1", "--qstep", "1",
+         "--isQEq", "2", "--dtype", "float32",
+         "--vprocs", "2", "1", "1",
+         "--outDir", str(outdir)],
+        capture_output=True, text=True, timeout=900,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "MDstep:" in r.stdout
+    assert "successfully finished" in r.stdout
+    assert (outdir / "rxff.npz").exists()
+    assert (outdir / "rxff.bin").exists()
