@@ -45,6 +45,14 @@ def main(argv=None):
 
     nvp = int(np.prod(cfg.vprocs))
     sharded = nvp > 1
+    if sharded and cfg.mdmode in (0, 6, 10):
+        # mdmode 10 (CG minimization) and 0/6 (Maxwell velocity redraws)
+        # have no sharded implementation yet; failing loudly beats silently
+        # running plain MD (ref dispatch: main.F90:25,45-61)
+        print(f"ERROR: mdmode {cfg.mdmode} is not supported with "
+              "processors > 1 1 1 yet; run with vprocs 1 1 1",
+              file=sys.stderr)
+        return 1
     if sharded:
         # spatial domain decomposition over a device mesh shaped like the
         # rxmd.in `processors` grid (ref: cmdline.F90:273-276, init.F90:48-53)

@@ -40,6 +40,11 @@ class RunConfig:
     NMAXQEq: int = 500
     QEq_tol: float = 1e-7
     qstep: int = 1
+    qeq_dense_max: int = 8192    # fold the QEq hessian into a dense (N,N)
+                                 # MXU matvec when N <= this (single-device
+                                 # full-CG only); 0 forces the ELL path,
+                                 # matching the sharded engine's summation
+                                 # order exactly
     # extended Lagrangian
     Lex_fqs: float = 1.0
     Lex_k: float = 2.0
@@ -87,6 +92,13 @@ class RunConfig:
     term_cache: bool = True      # cache angle/torsion lists on the rebuild
                                  # cadence (False = reference per-step
                                  # enumeration semantics, bit-exact)
+    nonbond_closed_form: bool = None
+                                 # None (auto): closed-form vdW/Coulomb/QEq
+                                 # kernels in float32 production (VPU math,
+                                 # no 58 MB table gathers per sweep), the
+                                 # reference's interpolation tables in
+                                 # float64 validation (bit-parity with the
+                                 # golden trace).  True/False forces.
     tighten_lists: bool = False  # per-step compaction of skinned lists to
                                  # the true cutoffs: saves ~1.4x in term
                                  # shapes but costs two top_k sorts per step

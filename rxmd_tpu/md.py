@@ -96,6 +96,35 @@ def probe_capacities(ff: ForceField, state: State, ffd, rctap, dtype,
     return kb, knb, caps
 
 
+def _bond_table_from(bo, nbrs, gid, img, bo_cutoff):
+    """(partner gids, bond orders, counts) rows compacted to the front
+    (ref: WriteBND fileio.F90:27-148, BNDcutoff=0.3)."""
+    keep = bo.mask & (bo.bo[..., 0] > bo_cutoff)
+    idx = jnp.where(bo.mask, nbrs.idxb, 0)
+    gids = jnp.where(keep, gid[img.owner[idx]], -1)
+    order = jnp.argsort(~keep, axis=1, stable=True)
+    gids = jnp.take_along_axis(gids, order, axis=1)
+    bos = jnp.take_along_axis(jnp.where(keep, bo.bo[..., 0], 0.0), order,
+                              axis=1)
+    return gids, bos, keep.sum(axis=1)
+
+
+def bond_table(ffd, state: State, ff: ForceField, bo_cutoff=0.3, kb=32,
+               knb=64):
+    """Engine-independent bond table for .bnd output on a host-ordered
+    State (used by the sharded engine's gathered output path)."""
+    from .ffield import effective_maxrc
+    H = np.asarray(state.H)
+    maxrc = effective_maxrc(ff, np.asarray(state.types))
+    nimg = neighbors.nimg_for_cutoff(H, maxrc)
+    img = neighbors.make_image_table(state.n, nimg, state.pos.dtype)
+    rctap2 = jnp.asarray(maxrc * maxrc, state.pos.dtype)
+    nbrs = neighbors.build_neighbors_brute(
+        state.pos, state.H, state.types, img, ffd.rc2b, rctap2, kb, knb)
+    bo = reax.bond_order(state.pos, state.H, state.types, img, nbrs, ffd)
+    return _bond_table_from(bo, nbrs, state.gid, img, bo_cutoff)
+
+
 class Engine:
     """Single-device MD engine (the multi-device engine shards this same
     step over a mesh — see parallel/)."""
@@ -115,6 +144,14 @@ class Engine:
             par = pqeq_mod.parse_pqeq_par(cfg.pqeq_parm_path)
             pqeq_mod.apply_to_ff(ff, par)   # chi/eta overrides before ffdev
             self.pq = pqeq_mod.make_pqeq(par, dtype=self.dtype, rctap=rctap)
+            tmax = int(np.asarray(state.types).max())
+            if tmax >= self.pq.ntype:
+                # PQEq params are matched to ffield types by row order
+                # (ref: cmdline.F90:213-226); an atom type beyond the table
+                # would silently gather-clamp — fail loudly instead
+                raise ValueError(
+                    f"atom type {tmax} has no PQEq parameters "
+                    f"({self.pq.ntype} rows in {cfg.pqeq_parm_path})")
         self.ffd = reax.ffdev_from(ff, dtype=self.dtype, rctap=rctap)
         self.state = state.astype(self.dtype)
 
@@ -151,6 +188,11 @@ class Engine:
         # true cutoffs (bo.F90:65 / pot.F90:720 semantics preserved)
         self.skin = cfg.nbr_skin
         self.rebuild_every = cfg.rebuild_every
+        # closed-form nonbond/QEq kernels in f32 production; interpolation
+        # tables (bit-parity with the reference) in f64 validation
+        self.closed_form = (cfg.nonbond_closed_form
+                            if cfg.nonbond_closed_form is not None
+                            else self.dtype == jnp.dtype(jnp.float32))
         rc2b = np.asarray(self.ffd.rc2b)
         rcb_ext = (np.sqrt(rc2b) + self.skin) ** 2 * (rc2b > 0)
         self.rc2b_ext = jnp.asarray(rcb_ext, self.dtype)
@@ -238,13 +280,17 @@ class Engine:
             qn, spos_n, iters, _ = pqeq_mod.solve(
                 pos, spos, q, qsfp, H, types, self.img, nbrs, self.ffd,
                 self.pq, isqeq=isqeq, nmax=cfg.NMAXQEq, tol=cfg.QEq_tol,
-                lex_fqs=cfg.Lex_fqs)
+                lex_fqs=cfg.Lex_fqs,
+                efield_dir=cfg.eFieldDir if cfg.isEfield else None,
+                efield_strength=cfg.eFieldStrength)
             if isqeq == 1:
                 return qn, q, jnp.zeros_like(qsfv), iters, spos_n
             return qn, qsfp, qsfv, iters, spos_n
         res = qeq.solve(pos, q, qsfp, H, types, self.img, nbrs, self.ffd,
                         isqeq=isqeq, nmax=cfg.NMAXQEq, tol=cfg.QEq_tol,
-                        lex_fqs=cfg.Lex_fqs, pre=pre)
+                        lex_fqs=cfg.Lex_fqs, pre=pre,
+                        closed_form=self.closed_form,
+                        dense_max=cfg.qeq_dense_max)
         if isqeq == 1:
             # fictitious charges re-seeded from pre-QEq q (ref: qeq.F90:42-43)
             return res.q, q, jnp.zeros_like(qsfv), res.iters, spos
@@ -257,6 +303,7 @@ class Engine:
                                      pq=self.pq, spos=spos,
                                      lists=lists or None,
                                      with_virial=with_virial,
+                                     closed_form=self.closed_form,
                                      ctx=ctx, rows_pre=rows_pre)
         comps, f = out[0], out[1]
         w = out[2] if with_virial else None
@@ -406,6 +453,10 @@ class Engine:
             # extended-Lagrangian charge DOF leapfrog (ref: main.F90:67-68)
             qsfv = s.qsfv + 0.5 * dt * self.lex_w2 * (s.q - s.qsfp)
             qsfp = s.qsfp + dt * qsfv
+            if cfg.isEfield:
+                # the field pumps net momentum into the charged system;
+                # correct it every step (ref: main.F90:70-71)
+                v = self._zero_momentum(s.types, v)
             # drift (ref: main.F90:72); wrapping happens at list rebuilds
             pos = s.pos + dt * v
 
@@ -418,9 +469,12 @@ class Engine:
                 amask = jnp.ones(pos.shape[0], bool)
                 ctx = reax.nb_ctx(pos, None, s.H, s.types, self.img, nbrs,
                                   s.gid, amask, self.ffd)
-                rows_pre = reax.pair_rows(ctx, s.types, self.ffd)
+                if not self.closed_form:
+                    rows_pre = reax.pair_rows(ctx, s.types, self.ffd)
             do_qeq = (s.step % cfg.qstep) == 0
-            pre = (ctx, *rows_pre) if ctx is not None else None
+            pre = None
+            if ctx is not None:
+                pre = (ctx, *rows_pre) if rows_pre else (ctx, None, None)
             q, qsfp, qsfv, nq, spos = jax.lax.cond(
                 do_qeq,
                 lambda: self._qeq_step(pos, s.q, qsfp, qsfv, s.H, s.types,
@@ -464,15 +518,7 @@ class Engine:
         s = self.state
         nbrs = self._build_nbrs(s.pos, s.H, s.types)
         bo = reax.bond_order(s.pos, s.H, s.types, self.img, nbrs, self.ffd)
-        keep = bo.mask & (bo.bo[..., 0] > bo_cutoff)
-        idx = jnp.where(bo.mask, nbrs.idxb, 0)
-        gids = jnp.where(keep, s.gid[self.img.owner[idx]], -1)
-        # compact each row to the front
-        order = jnp.argsort(~keep, axis=1, stable=True)
-        gids = jnp.take_along_axis(gids, order, axis=1)
-        bos = jnp.take_along_axis(jnp.where(keep, bo.bo[..., 0], 0.0), order,
-                                  axis=1)
-        return gids, bos, keep.sum(axis=1)
+        return _bond_table_from(bo, nbrs, s.gid, self.img, bo_cutoff)
 
     def write_frame(self, base_path: str):
         """Write configured trajectory formats (ref: OUTPUT fileio.F90:5-20)."""
@@ -556,7 +602,10 @@ class Engine:
         print (ref: main.F90:269)."""
         astr = np.asarray(getattr(self, "_astr", np.zeros(6)))
         vol = abs(float(jnp.linalg.det(self.state.H)))
-        nst = max(self.cfg.pstep, 1)
+        # normalize by the actual number of accumulated steps; at the pstep
+        # cadence this equals the reference's /pstep (main.F90:252-253), and
+        # off-cadence calls (end-of-run partial window) stay correct
+        nst = getattr(self, "_astr_steps", 0) or max(self.cfg.pstep, 1)
         ss = astr[:3].sum() / 3.0 / vol * units.USTRS / nst
         if reset:
             self._astr = jnp.zeros((6,), self.dtype)

@@ -51,9 +51,15 @@ class ShardedState(NamedTuple):
     q: jax.Array
     qsfp: jax.Array
     qsfv: jax.Array
+    spos: jax.Array      # PQEq shell displacement from core (zeros if QEq)
+    frac0: jax.Array     # initial coordinates (spring restraint reference,
+                         # ref: ipos init.F90:231-232); migrates with atoms
     types: jax.Array
     gid: jax.Array
     valid: jax.Array
+
+
+NFIELDS = len(ShardedState._fields)
 
 
 def factor_mesh(n: int):
@@ -97,10 +103,12 @@ def distribute(state: State, mesh_shape, ncap) -> ShardedState:
     valid = np.zeros(ndev * ncap, bool)
     for d in range(ndev):
         valid[d * ncap:d * ncap + int((lin == d).sum())] = True
+    fblk = jnp.asarray(blk(frac))
     return ShardedState(
-        frac=jnp.asarray(blk(frac)), vel=jnp.asarray(blk(state.vel)),
+        frac=fblk, vel=jnp.asarray(blk(state.vel)),
         q=jnp.asarray(blk(state.q)), qsfp=jnp.asarray(blk(state.qsfp)),
         qsfv=jnp.asarray(blk(state.qsfv)),
+        spos=jnp.asarray(blk(state.spos)), frac0=fblk,
         types=jnp.asarray(blk(state.types)),
         gid=jnp.asarray(blk(state.gid)), valid=jnp.asarray(valid))
 
@@ -123,21 +131,36 @@ class ShardedEngine:
         self.mesh = Mesh(np.asarray(devices[:ndev]).reshape(mesh_shape),
                          ("x", "y", "z"))
 
-        if cfg.isPQEq:
-            raise NotImplementedError(
-                "PQEq is currently single-device only; use md.Engine")
         # rctap/skin_layers are engineering knobs: rctap < RCTAP0 truncates
         # the nonbonded/QEq cutoff, skin_layers < 3 truncates the bonded
         # ghost dependency chain — exact physics requires the defaults;
         # reduced values are for compile/execution validation on tiny
         # virtual-device meshes (the driver's dryrun).
-        rctap = units.RCTAP0 if rctap is None else float(rctap)
+        if rctap is None:
+            rctap = units.RCTAP0_PQEQ if cfg.isPQEq else units.RCTAP0
+        rctap = float(rctap)
+        self.pq = None
+        if cfg.isPQEq:
+            from .. import pqeq as pqeq_mod
+            par = pqeq_mod.parse_pqeq_par(cfg.pqeq_parm_path)
+            pqeq_mod.apply_to_ff(ff, par)   # chi/eta overrides before ffdev
+            self.pq = pqeq_mod.make_pqeq(par, dtype=self.dtype, rctap=rctap)
+            tmax = int(np.asarray(state.types).max())
+            if tmax >= self.pq.ntype:
+                raise ValueError(
+                    f"atom type {tmax} has no PQEq parameters "
+                    f"({self.pq.ntype} rows in {cfg.pqeq_parm_path})")
         self.ffd = reax.ffdev_from(ff, dtype=self.dtype, rctap=rctap)
         self.state0 = state.astype(self.dtype)
         H = np.asarray(state.H)
+        if not np.allclose(H, np.diag(np.diag(H))):
+            raise NotImplementedError(
+                "ShardedEngine assumes an orthogonal box (the fractional "
+                "halo skins are per-axis slabs); use md.Engine for "
+                "triclinic cells")
         self.Hg = jnp.asarray(H, self.dtype)
         self.Hi = jnp.asarray(np.linalg.inv(H), self.dtype)
-        L = np.linalg.norm(H, axis=0)       # orthogonal boxes assumed
+        L = np.diag(H)
 
         from ..ffield import effective_maxrc
         maxrc = effective_maxrc(ff, np.asarray(state.types))
@@ -304,8 +327,9 @@ class ShardedEngine:
 
     # ------------------------------------------------------------------
     def _compute(self, s: ShardedState, do_qeq, prep=False):
-        """Halo + neighbors + QEq + forces for the current configuration.
-        Returns (new q/qsfp/qsfv, force on residents, comps, nqeq).
+        """Halo + neighbors + QEq/PQEq + forces + virial for the current
+        configuration.  Returns (new q/qsfp/qsfv/spos, force on residents,
+        comps, virial (3,3) local contribution, nqeq, halo_max).
         `prep=True` forces a full CG solve and seeds qsfp (cold-start
         warm-up of the extended-Lagrangian charge DOF)."""
         spec = self.spec
@@ -329,15 +353,34 @@ class ShardedEngine:
 
         cfg = self.cfg
         q_ext = refresh(s.q)
+        spos_ext = halo.apply_plan(plan, s.spos, spec)
+        spos_new = s.spos
         isqeq = 1 if (prep and cfg.isQEq == 2) else cfg.isQEq
         if cfg.isQEq and do_qeq:
-            res = qeq.solve(
-                pos_rel, q_ext, refresh(s.qsfp), self.Hg, types_ext, img,
-                nbrs, self.ffd, amask=amask, isqeq=isqeq,
-                nmax=cfg.NMAXQEq, tol=cfg.QEq_tol, lex_fqs=cfg.Lex_fqs,
-                allreduce=self._psum, refresh=refresh,
-                resident_ext=resident_ext)
-            q_new, nq = jnp.where(s.valid, res.q[:ncap], 0.0), res.iters
+            if self.pq is not None:
+                # sharded PQEq: same psum/halo hooks as QEq; the shell
+                # displacement rides the ghost exchange like q
+                # (ref: pqeq.F90:89-165 + comm.F90:187-212)
+                from .. import pqeq as pqeq_mod
+                qn, sp_ext, nq, _ = pqeq_mod.solve(
+                    pos_rel, spos_ext, q_ext, refresh(s.qsfp), self.Hg,
+                    types_ext, img, nbrs, self.ffd, self.pq, amask=amask,
+                    isqeq=isqeq, nmax=cfg.NMAXQEq, tol=cfg.QEq_tol,
+                    lex_fqs=cfg.Lex_fqs, allreduce=self._psum,
+                    refresh=refresh,
+                    efield_dir=cfg.eFieldDir if cfg.isEfield else None,
+                    efield_strength=cfg.eFieldStrength)
+                q_new = jnp.where(s.valid, qn[:ncap], 0.0)
+                spos_new = jnp.where(s.valid[:, None], sp_ext[:ncap], 0.0)
+                spos_ext = halo.apply_plan(plan, spos_new, spec)
+            else:
+                res = qeq.solve(
+                    pos_rel, q_ext, refresh(s.qsfp), self.Hg, types_ext,
+                    img, nbrs, self.ffd, amask=amask, isqeq=isqeq,
+                    nmax=cfg.NMAXQEq, tol=cfg.QEq_tol, lex_fqs=cfg.Lex_fqs,
+                    allreduce=self._psum, refresh=refresh,
+                    resident_ext=resident_ext)
+                q_new, nq = jnp.where(s.valid, res.q[:ncap], 0.0), res.iters
         else:
             q_new, nq = s.q, jnp.int32(0)
         if (isqeq == 1 and do_qeq) and not (prep and cfg.isQEq == 2):
@@ -348,33 +391,78 @@ class ShardedEngine:
             qsfp, qsfv = s.qsfp, s.qsfv
         q_ext_new = refresh(q_new)
 
-        def etot(frac_res):
+        use_fast_nb = self.pq is None
+
+        def etot(frac_res, eps):
+            strain = jnp.eye(3, dtype=dtype) + eps
             fx = halo.apply_plan(plan, frac_res, spec, is_frac=True)
-            pr = (fx - mylo[None, :]) @ self.Hg.T
+            pr = ((fx - mylo[None, :]) @ self.Hg.T) @ strain.T
             comps = reax.energy_components(
-                pr, q_ext_new, self.Hg, types_ext, gid_ext, img, nbrs,
-                self.ffd, amask=amask, caps=self.caps,
-                include_nonbond=False)
+                pr, q_ext_new, strain @ self.Hg, types_ext, gid_ext, img,
+                nbrs, self.ffd, amask=amask, caps=self.caps,
+                include_nonbond=not use_fast_nb, pq=self.pq,
+                spos=spos_ext)
             comps = self._psum(comps)
             return comps[0], comps
 
-        (_, comps), g = jax.value_and_grad(etot, has_aux=True)(s.frac)
+        eps0 = jnp.zeros((3, 3), dtype)
+        (_, comps), (g, ge) = jax.value_and_grad(
+            etot, argnums=(0, 1), has_aux=True)(s.frac, eps0)
         # d E/d pos = Hi^T dE/dfrac  (pos = frac @ H^T)
         f = -(g @ self.Hi)
-        # nonbonded term: directed-pair enumeration gives complete row-local
-        # forces on residents — no ghost-force copy-back needed at all
-        ctx = reax.nb_ctx(pos_rel, q_ext_new, self.Hg, types_ext, img,
-                          nbrs, gid_ext, amask, self.ffd)
-        evdw, eclmb, echarge, f_nb = reax.nonbond_tbl_energy_forces(
-            ctx, q_ext_new, types_ext, amask, self.ffd)
-        comps = (comps.at[11].set(self._psum(evdw))
-                 .at[12].set(self._psum(eclmb))
-                 .at[13].set(self._psum(echarge)))
-        comps = comps.at[0].set(jnp.sum(comps[1:]))
-        f = f + f_nb[:ncap]
+        # potential virial W = -dE/deps.  eps is REPLICATED across the mesh,
+        # so shard_map's backward pass already psums its cotangent: -ge is
+        # the GLOBAL bonded virial (do not psum it again); the explicit
+        # local pair sums below still need their psum.
+        w = -ge
+        if use_fast_nb:
+            # nonbonded term: directed-pair enumeration gives complete
+            # row-local forces on residents — no ghost-force copy-back
+            ctx = reax.nb_ctx(pos_rel, q_ext_new, self.Hg, types_ext, img,
+                              nbrs, gid_ext, amask, self.ffd)
+            evdw, eclmb, echarge, f_nb, w_nb = \
+                reax.nonbond_tbl_energy_forces(
+                    ctx, q_ext_new, types_ext, amask, self.ffd,
+                    with_virial=True, img=img)
+            comps = (comps.at[11].set(self._psum(evdw))
+                     .at[12].set(self._psum(eclmb))
+                     .at[13].set(self._psum(echarge)))
+            comps = comps.at[0].set(jnp.sum(comps[1:]))
+            f = f + f_nb[:ncap]
+            w = w + self._psum(w_nb)
+
+        # extra forces: constant eField on core charges + spring restraints
+        # (ref: pot.F90:60-61; EEfield module.F90:359-383)
+        f_extra = None
+        if cfg.isEfield:
+            qc = q_new
+            if self.pq is not None:
+                qc = q_new + self.pq.Z[s.types]  # ref: module.F90:374-378
+            fe = -qc * cfg.eFieldStrength * units.EEV_KCAL
+            f_extra = jnp.zeros_like(f).at[:, cfg.eFieldDir].add(
+                jnp.where(s.valid, fe, 0.0))
+        if cfg.spring_const:
+            # minimum-image displacement from the initial configuration
+            # (ref: SpringForce pot.F90:95-110)
+            dfr = s.frac - s.frac0
+            dfr = dfr - jnp.round(dfr)
+            fs = -cfg.spring_const * (dfr @ self.Hg.T)
+            if cfg.spring_types:
+                smask = jnp.isin(
+                    s.types, jnp.asarray(list(cfg.spring_types), jnp.int32))
+                fs = jnp.where(smask[:, None], fs, 0.0)
+            fs = jnp.where(s.valid[:, None], fs, 0.0)
+            f_extra = fs if f_extra is None else f_extra + fs
+        if f_extra is not None:
+            f = f + f_extra
+            # all forces enter the Σ pos·f stress accumulation
+            # (ref: pot.F90:60-72); use absolute positions like md.Engine
+            pos_abs = s.frac @ self.Hg.T
+            w = w + self._psum(jnp.einsum("ia,ib->ab", f_extra, pos_abs))
+
         f = jnp.where(s.valid[:, None], f, 0.0)
         halo_max = plan.cnt_send.max()
-        return q_new, qsfp, qsfv, f, comps, nq, halo_max
+        return q_new, qsfp, qsfv, spos_new, f, comps, w, nq, halo_max
 
     # ------------------------------------------------------------------
     def _build_step(self):
@@ -391,6 +479,10 @@ class ShardedEngine:
                 v = jnp.where(w[:, None], v, 0.0)
                 qsfv = s.qsfv + 0.5 * dt * self.lex_w2 * (s.q - s.qsfp)
                 qsfp = s.qsfp + dt * qsfv
+                if cfg.isEfield:
+                    # the field pumps net momentum into the charged system;
+                    # correct it every step (ref: main.F90:70-71)
+                    v = self._zero_momentum(s, v)
                 # drift in fractional space + global PBC wrap
                 frac = s.frac + (v @ self.Hi.T) * dt
                 frac = jnp.where(w[:, None], frac % 1.0, 0.0)
@@ -398,11 +490,21 @@ class ShardedEngine:
                 s, mig_max = self._migrate(s)
 
                 out = self._compute(s, do_qeq)
-                q, qsfp, qsfv, f2, comps, nq, halo_max = out
+                q, qsfp, qsfv, spos, f2, comps, wvir, nq, halo_max = out
+                # per-step stress: kinetic m v_a v_b with the half-kicked
+                # velocity + potential virial (ref: main.F90:86-94 +
+                # pot.F90:65-72); components (xx,yy,zz,yz,zx,xy)
+                m = jnp.where(s.valid, (2.0 * self.hmas)[s.types], 0.0)
+                kin = jnp.einsum("i,ia,ib->ab", m, s.vel, s.vel,
+                                 preferred_element_type=s.vel.dtype)
+                # wvir from _compute is already global; only kin is local
+                sw = self._psum(kin) + 0.5 * (wvir + wvir.T)
+                dastr = jnp.stack([sw[0, 0], sw[1, 1], sw[2, 2],
+                                   sw[1, 2], sw[2, 0], sw[0, 1]])
                 v = s.vel + self.dthm[s.types][:, None] * f2
                 v = jnp.where(s.valid[:, None], v, 0.0)
                 qsfv = qsfv + 0.5 * dt * self.lex_w2 * (q - qsfp)
-                s = s._replace(vel=v, q=q, qsfp=qsfp, qsfv=qsfv)
+                s = s._replace(vel=v, q=q, qsfp=qsfp, qsfv=qsfv, spos=spos)
                 ke = self._psum(jnp.sum(
                     jnp.where(s.valid, self.hmas[s.types]
                               * jnp.sum(v * v, axis=1), 0.0)))
@@ -413,13 +515,13 @@ class ShardedEngine:
                     self._psum(s.valid.sum(dtype=jnp.int32)),
                     jax.lax.pmax(mig_max, ("x", "y", "z")),
                     jax.lax.pmax(halo_max, ("x", "y", "z"))])
-                return s, f2, comps, nq, ke, diag
+                return s, f2, comps, nq, ke, dastr, diag
 
             smap = jax.shard_map(
                 step_block, mesh=mesh,
-                in_specs=(ShardedState(*(specP,) * 8), specP, P()),
-                out_specs=(ShardedState(*(specP,) * 8), specP, P(), P(),
-                           P(), P()))
+                in_specs=(ShardedState(*(specP,) * NFIELDS), specP, P()),
+                out_specs=(ShardedState(*(specP,) * NFIELDS), specP, P(),
+                           P(), P(), P(), P()))
             return jax.jit(smap)
 
         self._step_qeq = make(True)
@@ -430,17 +532,20 @@ class ShardedEngine:
         """Initial QEq + FORCE (ref: main.F90:27-32) via the sharded path."""
         def prep_block(s: ShardedState):
             out = self._compute(s, True, prep=True)
-            q, qsfp, qsfv, f, comps, nq, _halo = out
-            return s._replace(q=q, qsfp=qsfp, qsfv=qsfv), f, comps, nq
+            q, qsfp, qsfv, spos, f, comps, _w, nq, _halo = out
+            return (s._replace(q=q, qsfp=qsfp, qsfv=qsfv, spos=spos),
+                    f, comps, nq)
 
         specP = P(("x", "y", "z"))
         fn = jax.jit(jax.shard_map(
             prep_block, mesh=self.mesh,
-            in_specs=(ShardedState(*(specP,) * 8),),
-            out_specs=(ShardedState(*(specP,) * 8), specP, P(), P())))
+            in_specs=(ShardedState(*(specP,) * NFIELDS),),
+            out_specs=(ShardedState(*(specP,) * NFIELDS), specP, P(), P())))
         self.sstate, self.force, self.comps, self.nqeq = fn(self.sstate)
         self.step_count = int(self.state0.step)
         self.ke = jnp.zeros((), self.dtype)
+        self._astr = jnp.zeros((6,), self.dtype)
+        self._astr_steps = 0
         return self.comps
 
     def _check_diag(self, diag):
@@ -463,6 +568,9 @@ class ShardedEngine:
             self.prepare()
             if log:
                 log(self.printe_line())
+        if not hasattr(self, "_astr"):
+            self._astr = jnp.zeros((6,), self.dtype)
+            self._astr_steps = 0
         cfg = self.cfg
         if step0 is None:
             step0 = getattr(self, "step_count", 0)
@@ -474,12 +582,25 @@ class ShardedEngine:
             do_scale = jnp.asarray(stepno % cfg.sstep == 0)
             out = fn(self.sstate, self.force, do_scale)
             (self.sstate, self.force, self.comps, self.nqeq, self.ke,
-             diag) = out
-            # diagnostics checked one step behind: no pipeline stall
-            if prev_diag is not None:
-                self._check_diag(prev_diag)
-            prev_diag = diag
+             dastr, diag) = out
+            self._astr = self._astr + dastr
+            self._astr_steps += 1
             self.step_count = stepno + 1
+            emit = ((log and self.step_count % cfg.pstep == 0)
+                    or (writer is not None
+                        and self.step_count % cfg.fstep == 0))
+            if emit:
+                # before emitting output, validate the *current* step's
+                # diagnostics (accepting the pipeline stall) so no frame or
+                # PRINTE line is ever written from a corrupted state
+                self._check_diag(diag)
+                prev_diag = None
+            elif prev_diag is not None:
+                # otherwise check one step behind: no pipeline stall
+                self._check_diag(prev_diag)
+                prev_diag = diag
+            else:
+                prev_diag = diag
             if log and self.step_count % cfg.pstep == 0:
                 log(self.printe_line())
             if writer is not None and self.step_count % cfg.fstep == 0:
@@ -504,26 +625,43 @@ class ShardedEngine:
             pos=pos, types=ss.types[order], H=np.asarray(self.Hg),
             vel=ss.vel[order], q=ss.q[order], qsfp=ss.qsfp[order],
             qsfv=ss.qsfv[order], gid=ss.gid[order],
+            spos=ss.spos[order],
             step=getattr(self, "step_count", 0), dtype=self.dtype)
 
+    def pressure_gpa(self, reset=True):
+        """Pressure [GPa] from the per-step accumulated stress, normalized
+        like the reference PRINTE (ref: main.F90:252-253,269); same
+        semantics as md.Engine.pressure_gpa."""
+        astr = np.asarray(getattr(self, "_astr", np.zeros(6)))
+        vol = abs(float(jnp.linalg.det(self.Hg)))
+        nst = getattr(self, "_astr_steps", 0) or max(self.cfg.pstep, 1)
+        ss = astr[:3].sum() / 3.0 / vol * units.USTRS / nst
+        if reset:
+            self._astr = jnp.zeros((6,), self.dtype)
+            self._astr_steps = 0
+        return float(ss)
+
     def printe_line(self):
-        """PRINTE-format observables (ref: main.F90:210-263)."""
+        """PRINTE-format observables, column-for-column identical to the
+        single-device engine (ref: main.F90:210-263)."""
         n = self.state0.n
         ke = float(self.ke) / n
         pe = np.asarray(self.comps) / n
         te = ke + pe[0]
         tt = ke * units.UTEMP
+        ss = self.pressure_gpa()
         qq = float(jnp.sum(jnp.where(self.sstate.valid, self.sstate.q, 0.0)))
         return (f"MDstep: {getattr(self, 'step_count', 0):9d} {te: .5E} "
                 f"{pe[0]: .5E} {ke: .5E} "
                 f"{pe[1]: .3E} {pe[2:5].sum(): .3E} {pe[5:8].sum(): .3E} "
                 f"{pe[8:10].sum(): .3E} {pe[10]: .3E} {pe[11:14].sum(): .3E} "
-                f"{tt:8.2f} {qq:8.2f} {int(self.nqeq):4d}")
+                f"{tt:8.2f} {ss:8.2f} {qq:8.2f} {int(self.nqeq):4d}")
 
     def write_frame(self, base_path: str):
         """Write configured trajectory formats from the gathered state
         (ref: OUTPUT fileio.F90:5-20)."""
         from ..io import traj, refbin
+        from ..md import bond_table
         cfg = self.cfg
         st = self.to_state()
         names = self.ff.atom_names
@@ -531,6 +669,11 @@ class ShardedEngine:
             traj.write_xyz(base_path + ".xyz", st, names)
         if cfg.is_pdb:
             traj.write_pdb(base_path + ".pdb", st, names)
+        if cfg.is_bondfile:
+            # bond table from the gathered state (ref: WriteBND
+            # fileio.F90:27-148)
+            g, b, c = bond_table(self.ffd, st, self.ff, kb=self.kb)
+            traj.write_bnd(base_path + ".bnd", st, g, b, c)
         if cfg.is_binary:
             refbin.write_rxff_bin(base_path + ".bin", st)
 

@@ -165,15 +165,26 @@ def pqeq_kernels(pq: PQEqParams, tblE, ti, tj, dvec, mask):
 def solve(pos, spos, q, qsfp, H, types, img: ImageTable, nbrs: Neighbors,
           ffd: FFDev, pq: PQEqParams, amask=None, isqeq: int = 1,
           nmax: int = 500, tol: float = 1e-7, lex_fqs: float = 1.0,
-          allreduce=None, refresh=None, resident_ext=None):
+          allreduce=None, refresh=None, resident_ext=None,
+          efield_dir=None, efield_strength: float = 0.0,
+          lmin_f32: bool = False):
     """PQEq CG solve + one shell relaxation step (ref: pqeq.F90:2-259).
-    Returns (q, spos_new, iters, Est)."""
+    Returns (q, spos_new, iters, Est).
+
+    `efield_dir`/`efield_strength`: constant electric field acting on the
+    shell charges during relaxation (ref: pqeq.F90:205).  `lmin_f32`
+    mirrors the reference's real(4) line-minimization step (pqeq.F90:27)
+    so CG iteration counts can be matched bit-for-bit in f64 validation.
+    Multi-device: `allreduce`/`refresh` are the psum / per-iteration ghost
+    halo hooks (ref: MODE_QCOPY1/2, pqeq.F90:89-165, comm.F90:187-212)."""
     if allreduce is None:
         allreduce = lambda x: x
     if refresh is None:
         refresh = lambda x: x
     n = pos.shape[0]
     dtype = pos.dtype
+    # f32 floor on the relative-change termination tests (see qeq.solve)
+    tol = max(tol, 20.0 * float(jnp.finfo(dtype).eps))
     if amask is None:
         amask = jnp.ones((n,), dtype=bool)
     w = amask.astype(dtype)
@@ -254,8 +265,10 @@ def solve(pos, spos, q, qsfp, H, types, img: ImageTable, nbrs: Neighbors,
     def gsafe(g):
         return jnp.where(jnp.abs(g) > 0.0, g, 1.0)
 
+    # sentinel (ref GEst2=1.d99, pqeq.F90:98): dtype max avoids f32 overflow
     init = (jnp.int32(0), qs0, qt0, q, hs0, ht0, gs0, gt0, gnew0,
-            jnp.asarray(1e99, dtype), jnp.asarray(0.0, dtype), False)
+            jnp.asarray(jnp.finfo(dtype).max, dtype),
+            jnp.asarray(0.0, dtype), False)
 
     def cond(c):
         it, *_, done = c
@@ -274,6 +287,8 @@ def solve(pos, spos, q, qsfp, H, types, img: ImageTable, nbrs: Neighbors,
         h_hsh = jnp.stack([allreduce(jnp.sum(hs * hshs_v)),
                            allreduce(jnp.sum(ht * hsht_v))])
         lmin = g_h / jnp.where(h_hsh != 0.0, h_hsh, 1.0)
+        if lmin_f32:
+            lmin = lmin.astype(jnp.float32).astype(dtype)  # ref: pqeq.F90:27
         qs1 = qs + lmin[0] * hs
         qt1 = qt + lmin[1] * ht
         mu = allreduce(jnp.sum(qs1)) / allreduce(jnp.sum(qt1))
@@ -293,15 +308,16 @@ def solve(pos, spos, q, qsfp, H, types, img: ImageTable, nbrs: Neighbors,
     est = out[10]
 
     spos_new = update_shells(pos, spos, refresh(qf), H, types, img, nbrs, pq,
-                             amask)
+                             amask, efield_dir=efield_dir,
+                             efield_strength=efield_strength)
     return qf, spos_new, out[0], est
 
 
-def update_shells(pos, spos, q, H, types, img, nbrs, pq: PQEqParams, amask,
-                  efield_dir=None, efield_strength=0.0):
-    """One damped steepest-descent shell relaxation, displacement capped at
-    1e-3 A (ref: update_shell_positions pqeq.F90:187-259)."""
-    max_disp = 1e-3
+def shell_forces(pos, spos, q, H, types, img, nbrs, pq: PQEqParams, amask,
+                 efield_dir=None, efield_strength=0.0):
+    """Total force on each shell: spring + screened Coulomb from every
+    neighbor core and shell, + optional eField
+    (ref: pqeq.F90:197-238 Eqs. 37-38 + :205)."""
     pose = ext_positions(pos, H, img)
     spose = spos[img.owner]
     mask = nbrs.masknb
@@ -334,7 +350,16 @@ def update_shells(pos, spos, q, H, types, img, nbrs, pq: PQEqParams, amask,
     if efield_dir is not None and efield_strength != 0.0:
         sforce = sforce.at[:, efield_dir].add(
             -zi * efield_strength * units.EEV_KCAL)
+    return sforce
 
+
+def update_shells(pos, spos, q, H, types, img, nbrs, pq: PQEqParams, amask,
+                  efield_dir=None, efield_strength=0.0):
+    """One damped steepest-descent shell relaxation, displacement capped at
+    1e-3 A (ref: update_shell_positions pqeq.F90:187-259, Eq. 39)."""
+    max_disp = 1e-3
+    sforce = shell_forces(pos, spos, q, H, types, img, nbrs, pq, amask,
+                          efield_dir, efield_strength)
     ks = jnp.maximum(pq.Ks[types], 1e-10)
     dr = sforce / ks[:, None]
     ddr = jnp.sqrt(jnp.maximum(jnp.sum(dr * dr, axis=-1), 1e-30))

@@ -49,7 +49,8 @@ def solve(pos, q, qsfp, H, types, img: ImageTable, nbrs: Neighbors,
           ffd: FFDev, amask=None, isqeq: int = 1, nmax: int = 500,
           tol: float = 1e-7, lex_fqs: float = 1.0, allreduce=None,
           lmin_f32: bool = False, refresh=None,
-          resident_ext=None, closed_form=None, pre=None) -> QEqResult:
+          resident_ext=None, closed_form=None, pre=None,
+          dense_max: int = 8192) -> QEqResult:
     """Solve for charges.  isqeq=1: full CG (ref: qeq.F90:39-48);
     isqeq=2: extended-Lagrangian warm start, one iteration
     (ref: qeq.F90:51-57).
@@ -71,6 +72,12 @@ def solve(pos, q, qsfp, H, types, img: ImageTable, nbrs: Neighbors,
         refresh = lambda x: x
     n = pos.shape[0]
     dtype = pos.dtype
+    # the termination tests are RELATIVE energy changes (qeq.F90:114-115);
+    # below ~20 ulp of the working precision they can never trigger and the
+    # CG stalls, burning iterations on rounding noise (observed: f32 takes
+    # 37-49 iters where f64 takes 4-8).  Floor the tolerance accordingly —
+    # f64 validation keeps the reference semantics exactly.
+    tol = max(tol, 20.0 * float(jnp.finfo(dtype).eps))
     if closed_form is None:
         closed_form = False
     if amask is None:
@@ -78,10 +85,16 @@ def solve(pos, q, qsfp, H, types, img: ImageTable, nbrs: Neighbors,
     w = amask.astype(dtype)
 
     if pre is not None:
-        # shared per-step pair context + table rows (reax.pair_rows) — the
-        # QEq hessian column rides the same gather as the nonbond kernels
+        # shared per-step pair context (+ table rows when interpolating) —
+        # the QEq hessian column rides the same gather/geometry as the
+        # nonbond kernels; rows=None means closed-form production kernels
         ctx, rows, ok = pre
-        hess = jnp.where(ok & (ctx.dr2 < ffd.rctap2), rows[..., 4], 0.0)
+        if rows is None:
+            in_range = ctx.mask & (ctx.dr2 < ffd.rctap2)
+            hess = cf_qeq_kernel(ctx.dr2, ctx_prm(ctx, types, ffd), ffd,
+                                 in_range)
+        else:
+            hess = jnp.where(ok & (ctx.dr2 < ffd.rctap2), rows[..., 4], 0.0)
     else:
         # gid is only used by ctx for the self-image exclusion mask, which
         # QEq does NOT apply (the reference's qeq pair list keeps periodic
@@ -116,8 +129,9 @@ def solve(pos, q, qsfp, H, types, img: ImageTable, nbrs: Neighbors,
     def pair_energy(qcur):
         """Σ_k est_w·H_ik·q_k per atom i, ELL form (one row gather per
         call — it runs once per CG iteration, so a dense fold would cost
-        more to build than it saves)."""
-        qj = jnp.where(mask, refresh(qcur)[oj], 0.0)
+        more to build than it saves).  (m,1) row-gather form: the flat 1-D
+        gather takes the TPU's slow scalar path."""
+        qj = jnp.where(mask, refresh(qcur)[:, None][oj][..., 0], 0.0)
         return jnp.sum(est_w * hz * qj, axis=1) * qcur
 
     # On a single shard a long CG solve is gather-bound in ELL form; fold
@@ -125,8 +139,9 @@ def solve(pos, q, qsfp, H, types, img: ImageTable, nbrs: Neighbors,
     # The 1-iteration extended-Lagrangian mode does only ~3 matvec sweeps,
     # where three (n,knb,2) row gathers are cheaper than one dense scatter
     # build — it stays in ELL form.  Memory caps the dense path at
-    # n <= 8192 (256 MB f32).
-    dense = local_only and n <= 8192 and not (isqeq == 2)
+    # n <= dense_max (256 MB f32 at the default 8192); dense_max=0 forces
+    # ELL everywhere, e.g. for bit-comparing against the sharded path.
+    dense = local_only and n <= dense_max and not (isqeq == 2)
     if dense:
         row = jnp.broadcast_to(jnp.arange(n)[:, None], oj.shape)
         Hd = jnp.zeros((n, n), dtype).at[row, oj].add(hz)
@@ -165,17 +180,37 @@ def solve(pos, q, qsfp, H, types, img: ImageTable, nbrs: Neighbors,
     def gnew_safe(g):
         return jnp.where(jnp.abs(g) > 0.0, g, 1.0)
 
+    # "never converged yet" sentinel (ref GEst2=1.d99, qeq.F90:98) — use the
+    # dtype's own max so the f32 production path doesn't overflow in cast
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
     init = (jnp.int32(0), X0, q, H0, G0, gnew0,
-            jnp.asarray(1e99, dtype), jnp.asarray(0.0, dtype), False)
+            big, jnp.asarray(0.0, dtype), False)
 
     def cond(c):
         it, *_, done = c
         return (it < nmax_eff) & jnp.logical_not(done)
 
+    if dense:
+        def matvec2_and_est(Hv, qcur):
+            return matvec2(Hv), electrostatic(qcur)
+    else:
+        def matvec2_and_est(Hv, qcur):
+            """Fused CG-body sweep: ONE (n, knb, 3) row gather feeds both
+            the matvec H·(hs,ht) and the Est pair energy (the analog of the
+            reference's single get_hsh pass computing hshs/hsht AND Est,
+            ref: qeq.F90:271-318)."""
+            Y = jnp.concatenate([Hv, qcur[:, None]], axis=1)   # (n, 3)
+            Ys = jnp.where(mask[..., None], refresh(Y)[oj], 0.0)
+            mv = (eta[:, None] * Hv
+                  + jnp.einsum("nk,nkc->nc", hz, Ys[..., :2],
+                               preferred_element_type=dtype))
+            pair = jnp.sum(est_w * hz * Ys[..., 2], axis=1) * qcur
+            per_atom = chi * qcur + 0.5 * eta * qcur * qcur + pair
+            return mv, jnp.sum(jnp.where(amask, per_atom, 0.0))
+
     def body(c):
         (it, X, qcur, Hv, G, gnew, gest2, _, done) = c
-        HH = matvec2(Hv)                               # (n, 2)
-        est_l = electrostatic(qcur)
+        HH, est_l = matvec2_and_est(Hv, qcur)          # (n, 2), ()
         # one fused allreduce for: est, g.h (2), h.Hh (2) — the TPU analog
         # of the reference's batched 4-scalar MPI buffer (qeq.F90:126-131)
         red = allreduce(jnp.concatenate([

@@ -26,8 +26,15 @@ def test_two_device_trajectory_matches_single(tmp_path):
     examples/2-reaxff-dc check, Makefile:5)."""
     ff = ffield.parse_ffield(FF)
     st = system.from_cellfile(CELL, ff.name_to_type, mc=(2, 1, 1))
-    cfg = RunConfig(mdmode=1, dt_fs=0.25, isQEq=1, QEq_tol=1e-7, qstep=1,
-                    pstep=100, sstep=1000)
+    # qeq_dense_max=0 forces the single-device engine onto the same ELL
+    # matvec the sharded path uses.  QEq termination tests the electrostatic
+    # energy Est, whose pair weights are decomposition-dependent by design
+    # (resident vs ghost weighting, ref: qeq.F90:304-306), so the two
+    # engines legitimately stop after different CG iteration counts; a
+    # tight tolerance drives both to the same unique minimizer, making q
+    # comparable to ~1e3x better than the tolerance-limited difference.
+    cfg = RunConfig(mdmode=1, dt_fs=0.25, isQEq=1, QEq_tol=1e-11, qstep=1,
+                    pstep=100, sstep=1000, qeq_dense_max=0)
 
     e1 = md.Engine(ff, st, cfg)
     e1.prepare()
@@ -49,8 +56,14 @@ def test_two_device_trajectory_matches_single(tmp_path):
     f2 = (np.asarray(s2.pos) @ Hi.T) % 1.0
     d = np.abs(f1 - f2)
     d = np.minimum(d, 1.0 - d)                 # periodic distance
-    assert d.max() < 2e-7   # QEq tol 1e-7 bounds the path difference
+    assert d.max() < 2e-7
     assert np.abs(np.asarray(s1.q) - np.asarray(s2.q)).max() < 1e-7
+    # pressure column: both engines accumulated 3 steps of kinetic+virial
+    # stress; the sharded strain-grad virial must match the single-device
+    # one (ref stress accumulation: main.F90:86-94 + pot.F90:65-72)
+    p1 = e1.pressure_gpa(reset=False)
+    p2 = e2.pressure_gpa(reset=False)
+    assert abs(p1 - p2) < 5e-3 * max(1.0, abs(p1))
     line = e2.printe_line()
     assert "MDstep:" in line and len(line.split()) == 15
 
