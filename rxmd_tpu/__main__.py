@@ -17,6 +17,16 @@ import numpy as np
 
 def main(argv=None):
     from . import config, ffield, system, md
+    # multi-host launch (the MPI-world analog, ref: main.F90:10): set
+    # RXMD_COORDINATOR=host:port RXMD_NUM_PROCESSES=N RXMD_PROCESS_ID=i on
+    # every process; the device mesh then spans all processes and the
+    # sharded engine's collectives ride ICI/DCN.
+    if os.environ.get("RXMD_COORDINATOR"):
+        import jax
+        jax.distributed.initialize(
+            coordinator_address=os.environ["RXMD_COORDINATOR"],
+            num_processes=int(os.environ["RXMD_NUM_PROCESSES"]),
+            process_id=int(os.environ["RXMD_PROCESS_ID"]))
     args = config.cli_parser().parse_args(argv)
     cfg = config.RunConfig()
     if os.path.exists(args.rxmdin):
@@ -65,6 +75,13 @@ def main(argv=None):
         eng = ShardedEngine(ff, st, cfg, mesh_shape=cfg.vprocs, dtype=dtype)
     else:
         eng = md.Engine(ff, st, cfg, dtype=dtype)
+    p0 = True
+    if os.environ.get("RXMD_COORDINATOR"):
+        # multi-host: rank 0 prints and writes (ref: `if(myid==0)` guards)
+        import jax as _jax
+        p0 = _jax.process_index() == 0
+        if not p0:
+            sys.stdout = open(os.devnull, "w")
     print("-" * 64)
     print(f"{'parameter set:':>30s} {ff.header}")
     print(f"{'time step[fs]:':>30s} {cfg.dt_fs:10.2e}")
@@ -89,15 +106,21 @@ def main(argv=None):
         from .io import checkpoint as _ck
 
         def swriter(e):
+            stg = e.to_state()          # cross-host collective: all ranks
+            if not p0:
+                return
             base = os.path.join(cfg.data_dir, f"{e.step_count:09d}")
-            e.write_frame(base)
+            e.write_frame(base, st=stg)
 
         eng.run(cfg.ntime_step, log=print,
                 writer=swriter if (cfg.is_xyz or cfg.is_pdb
+                                   or cfg.is_bondfile
                                    or cfg.is_binary) else None)
         final = eng.to_state()
-        _ck.save(os.path.join(cfg.data_dir, "rxff.npz"), final)
-        refbin.write_rxff_bin(os.path.join(cfg.data_dir, "rxff.bin"), final)
+        if p0:
+            _ck.save(os.path.join(cfg.data_dir, "rxff.npz"), final)
+            refbin.write_rxff_bin(os.path.join(cfg.data_dir, "rxff.bin"),
+                                  final)
         print("rxmd-tpu successfully finished")
         return 0
 

@@ -92,6 +92,13 @@ class RunConfig:
     term_cache: bool = True      # cache angle/torsion lists on the rebuild
                                  # cadence (False = reference per-step
                                  # enumeration semantics, bit-exact)
+    pair_kernel: bool = None     # Pallas cell-column pair sweep for the
+                                 # nonbond + QEq hot loops (ops/pairsweep).
+                                 # None (auto): on for f32 production on an
+                                 # accelerator backend (orthogonal box,
+                                 # QEq, non-LG, cached term lists); off on
+                                 # CPU.  True forces it (interpreter mode
+                                 # on CPU — slow, for validation).
     nonbond_closed_form: bool = None
                                  # None (auto): closed-form vdW/Coulomb/QEq
                                  # kernels in float32 production (VPU math,

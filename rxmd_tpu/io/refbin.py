@@ -40,23 +40,21 @@ def read_rxff_bin(path: str, dtype=np.float64):
         body = np.fromfile(fh, np.float64, n * 10).reshape(n, 10)
     H = box_matrix(*cell)
     pos = body[:, 0:3] @ H.T                       # normalized -> real
-    # per-rank slabs are in global normalized coords already offset by the
-    # rank origin?  No: WriteBIN stores xu2xs output which subtracts OBOX;
-    # geninit stores global normalized.  For nprocs==1 both agree.  For
-    # multi-rank files, add the rank origin back:
+    # per-rank slabs store LOCAL normalized coords (the rank origin OBOX is
+    # subtracted both by geninit, geninit.F90:509-515, and by WriteBIN's
+    # xu2xs, main.F90:596-616); add it back.  Rank id is x-fastest:
+    # myid = ix + iy*vx + iz*vx*vy (ref: init.F90:74-76, geninit.F90:499).
     if nprocs > 1:
         off = 0
-        lo = np.zeros(3)
-        k = 0
-        for ix in range(vprocs[0]):
-            for iy in range(vprocs[1]):
-                for iz in range(vprocs[2]):
-                    c = int(counts[k])
-                    obox = np.array([ix / vprocs[0], iy / vprocs[1],
-                                     iz / vprocs[2]])
-                    pos[off:off + c] = (body[off:off + c, 0:3] + obox) @ H.T
-                    off += c
-                    k += 1
+        for k in range(nprocs):
+            ix = k % vprocs[0]
+            iy = (k // vprocs[0]) % vprocs[1]
+            iz = k // (vprocs[0] * vprocs[1])
+            c = int(counts[k])
+            obox = np.array([ix / vprocs[0], iy / vprocs[1],
+                             iz / vprocs[2]])
+            pos[off:off + c] = (body[off:off + c, 0:3] + obox) @ H.T
+            off += c
     types0, gid = decode_atype(body[:, 7])
     st = make_state(pos.astype(dtype), types0, H,
                     vel=body[:, 3:6], q=body[:, 6], qsfp=body[:, 8],
@@ -67,7 +65,14 @@ def read_rxff_bin(path: str, dtype=np.float64):
 
 def write_rxff_bin(path: str, state: State, cell=None, vprocs=(1, 1, 1),
                    step=None):
-    """Write a State as a single-rank reference rxff.bin."""
+    """Write a State as a reference rxff.bin.
+
+    With vprocs != (1,1,1), atoms are binned into the rank grid and written
+    as per-rank slabs with LOCAL normalized coordinates, exactly like the
+    reference's WriteBIN (fileio.F90:587-643) — so the reference can
+    restart at that processor layout (it requires the file's layout to
+    match, fileio.F90:492).  Rank order is x-fastest (init.F90:74-76).
+    """
     import numpy as np
     H = np.asarray(state.H)
     if cell is None:
@@ -88,9 +93,27 @@ def write_rxff_bin(path: str, state: State, cell=None, vprocs=(1, 1, 1),
     body[:, 8] = np.asarray(state.qsfp)
     body[:, 9] = np.asarray(state.qsfv)
     step = int(state.step) if step is None else step
+
+    vprocs = tuple(int(v) for v in vprocs)
+    nprocs = int(np.prod(vprocs))
+    if nprocs > 1:
+        vp = np.asarray(vprocs)
+        cellidx = np.minimum((frac * vp).astype(int), vp - 1)
+        rank = (cellidx[:, 0] + cellidx[:, 1] * vprocs[0]
+                + cellidx[:, 2] * vprocs[0] * vprocs[1])
+        order = np.argsort(rank, kind="stable")
+        body = body[order]
+        rank = rank[order]
+        counts = np.bincount(rank, minlength=nprocs).astype(np.int32)
+        # subtract each rank's origin (the xu2xs convention)
+        obox = (cellidx[order].astype(np.float64) / vp)
+        body[:, 0:3] -= obox
+    else:
+        counts = np.array([n], np.int32)
+
     with open(path, "wb") as fh:
-        np.array([1, *vprocs], np.int32).tofile(fh)
-        np.array([n], np.int32).tofile(fh)
+        np.array([nprocs, *vprocs], np.int32).tofile(fh)
+        counts.tofile(fh)
         np.array([step], np.int32).tofile(fh)
         np.asarray(cell, np.float64).tofile(fh)
         body.astype(np.float64).tofile(fh)

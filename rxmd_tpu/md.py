@@ -42,7 +42,9 @@ def probe_capacities(ff: ForceField, state: State, ffd, rctap, dtype,
     rc2b_p = jnp.asarray((_np.sqrt(rc2b_p) + skin) ** 2 * (rc2b_p > 0),
                          dtype)
     rctap2_p = jnp.asarray((rctap + skin) ** 2, dtype)
-    cpu = _jax.devices("cpu")[0]
+    # local_devices: in a multi-process world jax.devices()[0] may belong
+    # to another process and is not addressable from here
+    cpu = _jax.local_devices(backend="cpu")[0]
     with _jax.default_device(cpu):
         # operands must live on CPU or the ops follow them to the TPU
         state = _jax.device_put(state, cpu)
@@ -212,6 +214,39 @@ class Engine:
                                               term_margin=self.term_margin)
         self.kb = cfg.kb_cap or kb
         self.knb = cfg.knb_cap or knb
+        # Pallas cell-column pair sweep (ops/pairsweep): replaces the
+        # (n, knb) gather-bound nonbond + QEq inner loops with gatherless
+        # dense slab tiles.  f32, orthogonal, QEq-only, cached term lists.
+        # Measured on TPU v5e (RDX mc=3,3,3): the sweep runs correct but
+        # ~2.7x slower than the tuned gather path — the dense-tile pad-pair
+        # inflation (~50x) outweighs the gather savings at this geometry.
+        # Off by default until the layout (ccap/cell aspect, sub-tile
+        # culling) brings inflation under ~10x; enable explicitly with
+        # pair_kernel=True to use or profile it.
+        self.pairk = None
+        self._pk_interp = False
+        pk = cfg.pair_kernel
+        if pk is None:
+            pk = False
+        else:
+            self._pk_interp = jax.default_backend() == "cpu"
+        if (pk and self.closed_form and self.pq is None and not ff.is_lg
+                and self.term_cache and ortho
+                and self.dtype == jnp.dtype(jnp.float32)):
+            from .ops import pairsweep
+            try:
+                pg = pairsweep.make_pair_grid(H, rctap, skin=self.skin,
+                                              ccap=8)
+            except (NotImplementedError, RuntimeError, AssertionError):
+                pg = None
+            if pg is not None and pg.nslots <= 250_000:
+                self.pairk = pg
+                nso = ff.nso
+                self._nb_fn = pairsweep.make_nonbond_pair_fn(
+                    self.ffd, nso, float(self.ffd.rctap2))
+                self._qeq_fn = pairsweep.make_qeq_pair_fn(
+                    self.ffd, nso, float(self.ffd.rctap2))
+
         # rebuild trigger: pair lists are valid while drift < skin/2, cached
         # term lists while drift < term_margin/2 (ref rebuilds every step,
         # pot.F90:30-34; the monitor makes the reuse provably safe)
@@ -219,6 +254,10 @@ class Engine:
         if self.term_cache and self.term_margin > 0.0:
             lim = min(lim, self.term_margin)
         self.drift_trigger = 0.5 * lim
+        # drift-monitor polling cadence: each poll is a device->host scalar
+        # read (a full round trip on remote-tunneled chips)
+        self.drift_check_from = 4
+        self.drift_check_every = 2
 
         # spring restraints toward the initial configuration
         # (ref: SpringForce pot.F90:95-110, ipos init.F90:231-232)
@@ -262,6 +301,78 @@ class Engine:
             pos, H, types, self.img, self.rc2b_ext, self.rctap2_ext,
             self.kb, self.knb)
 
+    def _bin_pair_slots(self, pos, H):
+        """Cell-slot binning for the Pallas sweep (rebuild cadence)."""
+        from .ops import pairsweep
+        pose = neighbors.ext_positions(pos, H, self.img)
+        valid = jnp.ones(pose.shape[0], bool)
+        return pairsweep.bin_slots(pose, valid, self.pairk,
+                                   pos.shape[0])
+
+    def _make_pair_ops(self, pos, H, types, sm):
+        """Closures running the Pallas cell-column sweeps for this step's
+        positions: sweep3 (QEq matvec+Est) and nonbond (energy/force/
+        virial rows)."""
+        from .ops import pairsweep as ps
+        pg = self.pairk
+        n = pos.shape[0]
+        S = self.img.n_images
+        pose = neighbors.ext_positions(pos, H, self.img)
+        src = sm.slot_src
+        ok = src >= 0
+        srcc = jnp.where(ok, src, 0)
+        own = srcc % n if S > 1 else srcc
+        far = jnp.float32(ps.FAR)
+        pos3 = jnp.where(ok[:, None], pose[srcc], far).T        # (3, ns)
+        tslot = jnp.where(ok, types[own].astype(jnp.float32), 0.0)
+        gidf = jnp.where(ok, self.state.gid[own].astype(jnp.float32), -1.0)
+        isprim = ((src < n) & ok).astype(jnp.float32)
+        okf = ok.astype(jnp.float32)
+        soa = sm.slot_of_atom
+        interp = self._pk_interp
+
+        def sweep3(hs, ht, qc):
+            ch = jnp.stack([hs, ht, qc], axis=1)[own].T * okf   # (3, ns)
+            packed = jnp.concatenate(
+                [pos3, tslot[None], isprim[None], ch], axis=0)
+            fn, out_k, consts = self._qeq_fn
+            out = ps._sweep(pg, packed, fn, out_k, consts=consts,
+                            interpret=interp)
+            rows = ps.gather_rows(pg, out, soa)
+            return rows[0], rows[1], rows[2]
+
+        def nonbond(q):
+            qs = (jnp.where(ok, q[own], 0.0))[None]
+            packed = jnp.concatenate(
+                [pos3, tslot[None], gidf[None], qs], axis=0)
+            fn, out_k, consts = self._nb_fn
+            out = ps._sweep(pg, packed, fn, out_k, consts=consts,
+                            interpret=interp)
+            return ps.gather_rows(pg, out, soa)               # (11, n)
+
+        class Ops:
+            pass
+        o = Ops()
+        o.sweep3 = sweep3
+        o.nonbond = nonbond
+        return o
+
+    def _external_nonbond(self, pair_ops, q, types, with_virial):
+        """Assemble the external-nonbond tuple from sweep rows."""
+        rows = pair_ops.nonbond(q)
+        evdw = jnp.sum(rows[0])
+        eclmb = jnp.sum(rows[1])
+        echarge = jnp.sum(units.CECHRGE * (
+            self.ffd.chi[types] * q + 0.5 * self.ffd.eta[types] * q * q))
+        f_nb = rows[2:5].T
+        w_nb = None
+        if with_virial:
+            s = jnp.sum(rows[5:11], axis=1)   # xx,yy,zz,yz,zx,xy
+            w_nb = jnp.asarray([[s[0], s[5], s[4]],
+                                [s[5], s[1], s[3]],
+                                [s[4], s[3], s[2]]])
+        return evdw, eclmb, echarge, f_nb, w_nb
+
     def _wrap(self, pos, H):
         """Wrap positions into the primary cell (the reference keeps
         coordinates in-box through migration PBC shifts, comm.F90:531-548)."""
@@ -270,7 +381,7 @@ class Engine:
         return frac @ H.T
 
     def _qeq_step(self, pos, q, qsfp, qsfv, H, types, nbrs, isqeq=None,
-                  spos=None, pre=None):
+                  spos=None, pre=None, pair_ops=None):
         cfg = self.cfg
         isqeq = cfg.isQEq if isqeq is None else isqeq
         if isqeq == 0:
@@ -290,21 +401,23 @@ class Engine:
                         isqeq=isqeq, nmax=cfg.NMAXQEq, tol=cfg.QEq_tol,
                         lex_fqs=cfg.Lex_fqs, pre=pre,
                         closed_form=self.closed_form,
-                        dense_max=cfg.qeq_dense_max)
+                        dense_max=cfg.qeq_dense_max, pair_ops=pair_ops)
         if isqeq == 1:
             # fictitious charges re-seeded from pre-QEq q (ref: qeq.F90:42-43)
             return res.q, q, jnp.zeros_like(qsfv), res.iters, spos
         return res.q, qsfp, qsfv, res.iters, spos
 
     def _forces(self, pos, q, H, types, gid, nbrs, spos=None, lists=(),
-                with_virial=False, ctx=None, rows_pre=None):
+                with_virial=False, ctx=None, rows_pre=None,
+                external_nonbond=None):
         out = reax.energy_and_forces(pos, q, H, types, gid, self.img,
                                      nbrs, self.ffd, caps=self.caps,
                                      pq=self.pq, spos=spos,
                                      lists=lists or None,
                                      with_virial=with_virial,
                                      closed_form=self.closed_form,
-                                     ctx=ctx, rows_pre=rows_pre)
+                                     ctx=ctx, rows_pre=rows_pre,
+                                     external_nonbond=external_nonbond)
         comps, f = out[0], out[1]
         w = out[2] if with_virial else None
         f_extra = None
@@ -418,24 +531,31 @@ class Engine:
                     cap=self.caps["hbf"], kh=self.caps["kh"],
                     slack=self.term_slack, margin=self.term_margin)
                 lists = (al, tl, hl)
-            return dataclasses.replace(s, pos=pos), nbrs, lists
+            sm = self._bin_pair_slots(pos, s.H) if self.pairk else ()
+            return dataclasses.replace(s, pos=pos), nbrs, lists, sm
         return rebuild
 
     def _make_prepare(self):
         """Initial QEq + FORCE before the main loop (ref: main.F90:27-32)."""
-        def prepare(s: State, nbrs, lists):
+        def prepare(s: State, nbrs, lists, sm):
             nbrs = self._tight_nbrs(s.pos, s.H, s.types, nbrs)
+            pair_ops = (self._make_pair_ops(s.pos, s.H, s.types, sm)
+                        if self.pairk else None)
             # cold-start extended Lagrangian: one full CG solve to seed the
             # fictitious charge DOF (production restarts load qsfp from the
             # checkpoint instead, ref: fileio.F90:534-535)
             isq = 1 if self.cfg.isQEq == 2 else None
             q, qsfp, qsfv, nq, spos = self._qeq_step(
                 s.pos, s.q, s.qsfp, s.qsfv, s.H, s.types, nbrs, isqeq=isq,
-                spos=s.spos)
+                spos=s.spos, pair_ops=pair_ops)
             if self.cfg.isQEq == 2:
                 qsfp, qsfv = q, jnp.zeros_like(qsfv)
+            ext_nb = None
+            if pair_ops is not None:
+                ext_nb = self._external_nonbond(pair_ops, q, s.types, False)
             comps, f = self._forces(s.pos, q, s.H, s.types, s.gid, nbrs,
-                                    spos=spos, lists=lists)
+                                    spos=spos, lists=lists,
+                                    external_nonbond=ext_nb)
             s = dataclasses.replace(s, q=q, qsfp=qsfp, qsfv=qsfv, spos=spos)
             return s, f, comps, nq
         return prepare
@@ -444,7 +564,7 @@ class Engine:
         cfg = self.cfg
         dt = self.dt
 
-        def step(s: State, f, nbrs, lists, pos_ref, astr):
+        def step(s: State, f, nbrs, lists, sm, pos_ref, astr):
             do_scale = (s.step % cfg.sstep) == 0
             s = self._thermostat(s, do_scale)
 
@@ -463,9 +583,13 @@ class Engine:
             nbrs = self._tight_nbrs(pos, s.H, s.types, nbrs)
             # ONE pair context + table-row gather per step, shared by the
             # QEq hessian and the nonbond force kernel (both walk the same
-            # pair list — the analog of the reference reusing nbplist)
-            ctx = rows_pre = None
-            if self.pq is None:
+            # pair list — the analog of the reference reusing nbplist).
+            # With the Pallas sweep neither exists: geometry is consumed
+            # directly from the cell-slot layout.
+            ctx = rows_pre = pair_ops = None
+            if self.pairk is not None:
+                pair_ops = self._make_pair_ops(pos, s.H, s.types, sm)
+            elif self.pq is None:
                 amask = jnp.ones(pos.shape[0], bool)
                 ctx = reax.nb_ctx(pos, None, s.H, s.types, self.img, nbrs,
                                   s.gid, amask, self.ffd)
@@ -478,13 +602,18 @@ class Engine:
             q, qsfp, qsfv, nq, spos = jax.lax.cond(
                 do_qeq,
                 lambda: self._qeq_step(pos, s.q, qsfp, qsfv, s.H, s.types,
-                                       nbrs, spos=s.spos, pre=pre),
+                                       nbrs, spos=s.spos, pre=pre,
+                                       pair_ops=pair_ops),
                 lambda: (s.q, qsfp, qsfv, jnp.int32(0), s.spos))
 
+            ext_nb = None
+            if pair_ops is not None:
+                ext_nb = self._external_nonbond(pair_ops, q, s.types, True)
             comps, f2, w = self._forces(pos, q, s.H, s.types, s.gid, nbrs,
                                         spos=spos, lists=lists,
                                         with_virial=True, ctx=ctx,
-                                        rows_pre=rows_pre)
+                                        rows_pre=rows_pre,
+                                        external_nonbond=ext_nb)
 
             # per-step stress accumulation: kinetic m v_a v_b with the
             # half-kicked velocity + potential virial (ref: main.F90:86-94
@@ -553,18 +682,30 @@ class Engine:
             self.timers.peak("torsion list", nt, tl.valid.shape[0])
             self.timers.peak("hbond list", nh, hl.valid.shape[0])
 
+    def _check_slot_overflow(self):
+        if self.pairk and self._slotmap:
+            ov = int(self._slotmap.overflow)
+            if ov > self.pairk.ccap:
+                raise RuntimeError(
+                    f"pair-sweep cell overflow: {ov} > ccap="
+                    f"{self.pairk.ccap} (increase ccap or cell size)")
+
     def prepare(self):
-        self.state, self.nbrs, self.tlists = self._rebuild(self.state)
+        (self.state, self.nbrs, self.tlists,
+         self._slotmap) = self._rebuild(self.state)
         self._check_list_overflow()
+        self._check_slot_overflow()
         self._pos_ref = self.state.pos
         self._steps_since_rebuild = 0
-        s, f, comps, nq = self._prepare(self.state, self.nbrs, self.tlists)
+        s, f, comps, nq = self._prepare(self.state, self.nbrs, self.tlists,
+                                        self._slotmap)
         self.state = s
         self.force = f
         self.comps = comps
         self.nqeq = nq
         self._astr = jnp.zeros((6,), self.dtype)
         self._astr_steps = 0
+        self._host_step = int(s.step)
         return comps
 
     def stress(self):
@@ -575,7 +716,8 @@ class Engine:
         s = self.state
         nbrs = getattr(self, "nbrs", None)
         if nbrs is None:
-            self.state, self.nbrs, self.tlists = self._rebuild(self.state)
+            (self.state, self.nbrs, self.tlists,
+             self._slotmap) = self._rebuild(self.state)
             nbrs = self.nbrs
             s = self.state
         nbrs = self._tight_nbrs(s.pos, s.H, s.types, nbrs)
@@ -655,9 +797,15 @@ class Engine:
         if cfg.save_run_profile:
             from .utils.timers import RunProfile
             profile = RunProfile(cfg.run_profile_path, self.state.n)
+        # per-step device->host reads cost a full round trip (which can be
+        # tens of ms over a remote-tunneled TPU) and serialize the dispatch
+        # pipeline — the step counter is tracked host-side and the drift
+        # monitor is polled on a cadence, never every step
+        if not hasattr(self, "_host_step"):
+            self._host_step = int(self.state.step)
         t0 = time.time()
         for k in range(nsteps):
-            stepno = int(self.state.step)
+            stepno = self._host_step
             if cfg.mdmode in (0, 6) and stepno % cfg.sstep == 0 and k > 0:
                 # periodic Maxwell-Boltzmann redraw (ref: main.F90:53-54)
                 self.init_velocity(seed=stepno)
@@ -669,22 +817,28 @@ class Engine:
                         log(self.printe_line())
                 if profile is not None:
                     profile.record(stepno, nq)
-            if writer is not None and int(self.state.step) % cfg.fstep == 0:
+            if writer is not None and stepno % cfg.fstep == 0:
                 with tm("trajectory output"):
                     writer(self.state, self.comps)
             # drift check lags one step (reads the last *completed* step's
-            # monitor without stalling the async dispatch pipeline); the
-            # trigger at 0.4x the half-skin bound absorbs the lag
+            # monitor) and is only polled once the window could plausibly
+            # have drifted; the trigger at 0.8x of the half-skin bound
+            # absorbs both the lag and the polling cadence
             prev_dr2 = getattr(self, "_maxdr2_dev", None)
-            drifted = (prev_dr2 is not None
+            poll = (prev_dr2 is not None
+                    and self._steps_since_rebuild >= self.drift_check_from
+                    and self._steps_since_rebuild % self.drift_check_every
+                    == 0)
+            drifted = (poll
                        and float(prev_dr2) ** 0.5 > 0.8 * self.drift_trigger)
             if self._steps_since_rebuild >= self.rebuild_every or drifted:
                 if drifted:
                     tm.count("drift-triggered rebuilds", 1)
                 with tm("neighbor rebuild"):
-                    self.state, self.nbrs, self.tlists = \
-                        self._rebuild(self.state)
+                    (self.state, self.nbrs, self.tlists,
+                     self._slotmap) = self._rebuild(self.state)
                 self._check_list_overflow()
+                self._check_slot_overflow()
                 tm.peak("bonded nbr list", int(self.nbrs.cntb.max()),
                         self.kb)
                 tm.peak("nonbonded nbr list", int(self.nbrs.cntnb.max()),
@@ -694,11 +848,13 @@ class Engine:
                 self._maxdr2_dev = None
             with tm("MD step (dispatch)"):
                 out = self._step(self.state, self.force, self.nbrs,
-                                 self.tlists, self._pos_ref, self._astr)
+                                 self.tlists, self._slotmap,
+                                 self._pos_ref, self._astr)
             (self.state, self.force, self.comps, self.nqeq, self._ke,
              self._maxdr2_dev, self._astr) = out
             self._astr_steps += 1
             self._steps_since_rebuild += 1
+            self._host_step += 1
             tm.count("MD steps", 1)
         jax.block_until_ready(self.state.pos)
         wall = time.time() - t0

@@ -109,11 +109,15 @@ class Neighbors(NamedTuple):
 
 
 def _select_k(mask, k):
-    """Indices of up to k True entries per row (lowest index first)."""
+    """Indices of up to k True entries per row (lowest index first).
+    A capacity beyond the candidate width pads with -1."""
+    keff = min(k, mask.shape[-1])
     score = mask.astype(jnp.int32)
-    vals, idx = jax.lax.top_k(score, k)
-    idx = jnp.where(vals > 0, idx, -1)
-    return idx.astype(jnp.int32)
+    vals, idx = jax.lax.top_k(score, keff)
+    idx = jnp.where(vals > 0, idx, -1).astype(jnp.int32)
+    if keff < k:
+        idx = jnp.pad(idx, ((0, 0), (0, k - keff)), constant_values=-1)
+    return idx
 
 
 @functools.partial(jax.jit, static_argnames=("kb", "knb"))

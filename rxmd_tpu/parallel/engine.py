@@ -209,6 +209,17 @@ class ShardedEngine:
         self.hmas = jnp.asarray(0.5 * ff.mass, self.dtype)
 
         self.sstate = distribute(self.state0, self.mesh_shape, ncap)
+        if jax.process_count() > 1:
+            # multi-host mesh (the DCN/ICI analog of the reference's MPI
+            # world, ref: SURVEY 5.8): every process computed the identical
+            # host-side state; commit it as a global array so jit+shard_map
+            # spans process boundaries
+            from jax.sharding import NamedSharding
+            sh = NamedSharding(self.mesh, P(("x", "y", "z")))
+            self.sstate = jax.tree.map(
+                lambda a: jax.make_array_from_callback(
+                    a.shape, sh, lambda idx: np.asarray(a)[idx]),
+                self.sstate)
         self._step = self._build_step()
 
     # ------------------------------------------------------------------
@@ -615,9 +626,18 @@ class ShardedEngine:
     # MPI-IO, fileio.F90:5-20 — on a TPU mesh the host gathers instead)
     def to_state(self) -> State:
         """Gather the sharded state into a host-ordered State (sorted by
-        global atom id), e.g. for trajectory/checkpoint output."""
+        global atom id), e.g. for trajectory/checkpoint output.  On a
+        multi-host mesh every process receives the full gathered state
+        (the analog of the reference's MPI-IO shared file each rank can
+        read back, fileio.F90:444-555)."""
         from ..system import make_state
-        ss = jax.device_get(self.sstate)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            ss = jax.tree.map(np.asarray,
+                              multihost_utils.process_allgather(
+                                  self.sstate, tiled=True))
+        else:
+            ss = jax.device_get(self.sstate)
         sel = np.where(ss.valid)[0]
         order = sel[np.argsort(ss.gid[sel], kind="stable")]
         pos = (ss.frac[order] @ np.asarray(self.Hg).T)
@@ -657,13 +677,16 @@ class ShardedEngine:
                 f"{pe[8:10].sum(): .3E} {pe[10]: .3E} {pe[11:14].sum(): .3E} "
                 f"{tt:8.2f} {ss:8.2f} {qq:8.2f} {int(self.nqeq):4d}")
 
-    def write_frame(self, base_path: str):
+    def write_frame(self, base_path: str, st: State = None):
         """Write configured trajectory formats from the gathered state
-        (ref: OUTPUT fileio.F90:5-20)."""
+        (ref: OUTPUT fileio.F90:5-20).  Pass `st` when the caller already
+        gathered (to_state is a cross-host collective: every process must
+        call it the same number of times)."""
         from ..io import traj, refbin
         from ..md import bond_table
         cfg = self.cfg
-        st = self.to_state()
+        if st is None:
+            st = self.to_state()
         names = self.ff.atom_names
         if cfg.is_xyz:
             traj.write_xyz(base_path + ".xyz", st, names)

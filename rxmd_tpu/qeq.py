@@ -50,7 +50,7 @@ def solve(pos, q, qsfp, H, types, img: ImageTable, nbrs: Neighbors,
           tol: float = 1e-7, lex_fqs: float = 1.0, allreduce=None,
           lmin_f32: bool = False, refresh=None,
           resident_ext=None, closed_form=None, pre=None,
-          dense_max: int = 8192) -> QEqResult:
+          dense_max: int = 8192, pair_ops=None) -> QEqResult:
     """Solve for charges.  isqeq=1: full CG (ref: qeq.F90:39-48);
     isqeq=2: extended-Lagrangian warm start, one iteration
     (ref: qeq.F90:51-57).
@@ -83,6 +83,32 @@ def solve(pos, q, qsfp, H, types, img: ImageTable, nbrs: Neighbors,
     if amask is None:
         amask = jnp.ones((n,), dtype=bool)
     w = amask.astype(dtype)
+
+    if pair_ops is not None:
+        # Pallas cell-column sweep (ops/pairsweep): the hessian is never
+        # materialized; each call recomputes the shielded-Coulomb kernel
+        # over dense slab tiles — no per-pair gathers at all
+        eta = jnp.where(amask, ffd.eta[types], 0.0)
+        chi = jnp.where(amask, ffd.chi[types], 0.0)
+        w = amask.astype(dtype)
+
+        def matvec2(X):
+            mvs, mvt, _ = pair_ops.sweep3(X[:, 0], X[:, 1],
+                                          jnp.zeros_like(X[:, 0]))
+            return eta[:, None] * X + jnp.stack([mvs, mvt], axis=1)
+
+        def matvec2_and_est(Hv, qcur):
+            mvs, mvt, estp = pair_ops.sweep3(Hv[:, 0], Hv[:, 1], qcur)
+            mv = eta[:, None] * Hv + jnp.stack([mvs, mvt], axis=1)
+            per_atom = chi * qcur + 0.5 * eta * qcur * qcur + estp * qcur
+            return mv, jnp.sum(jnp.where(amask, per_atom, 0.0))
+
+        def gradient(X):
+            rhs = jnp.stack([-chi, -w], axis=1)
+            return jnp.where(amask[:, None], rhs - matvec2(X), 0.0)
+
+        return _cg(q, qsfp, amask, dtype, isqeq, nmax, tol, lex_fqs,
+                   lmin_f32, allreduce, matvec2_and_est, gradient)
 
     if pre is not None:
         # shared per-step pair context (+ table rows when interpolating) —
@@ -165,31 +191,6 @@ def solve(pos, q, qsfp, H, types, img: ImageTable, nbrs: Neighbors,
         per_atom = chi * qcur + 0.5 * eta * qcur * qcur + pair_energy(qcur)
         return jnp.sum(jnp.where(amask, per_atom, 0.0))
 
-    if isqeq == 2:
-        qs0 = jnp.where(amask, lex_fqs * qsfp + (1.0 - lex_fqs) * q, 0.0)
-        nmax_eff = 1
-    else:
-        qs0 = jnp.where(amask, q, 0.0)
-        nmax_eff = nmax
-    X0 = jnp.stack([qs0, jnp.zeros_like(q)], axis=1)   # (n, 2) = (qs, qt)
-
-    G0 = gradient(X0)
-    gnew0 = allreduce(jnp.sum(G0 * G0, axis=0))        # (2,)
-    H0 = G0
-
-    def gnew_safe(g):
-        return jnp.where(jnp.abs(g) > 0.0, g, 1.0)
-
-    # "never converged yet" sentinel (ref GEst2=1.d99, qeq.F90:98) — use the
-    # dtype's own max so the f32 production path doesn't overflow in cast
-    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
-    init = (jnp.int32(0), X0, q, H0, G0, gnew0,
-            big, jnp.asarray(0.0, dtype), False)
-
-    def cond(c):
-        it, *_, done = c
-        return (it < nmax_eff) & jnp.logical_not(done)
-
     if dense:
         def matvec2_and_est(Hv, qcur):
             return matvec2(Hv), electrostatic(qcur)
@@ -207,6 +208,43 @@ def solve(pos, q, qsfp, H, types, img: ImageTable, nbrs: Neighbors,
             pair = jnp.sum(est_w * hz * Ys[..., 2], axis=1) * qcur
             per_atom = chi * qcur + 0.5 * eta * qcur * qcur + pair
             return mv, jnp.sum(jnp.where(amask, per_atom, 0.0))
+
+    return _cg(q, qsfp, amask, dtype, isqeq, nmax, tol, lex_fqs,
+               lmin_f32, allreduce, matvec2_and_est, gradient)
+
+
+def _cg(q, qsfp, amask, dtype, isqeq, nmax, tol, lex_fqs, lmin_f32,
+        allreduce, matvec2_and_est, gradient):
+    """Two-vector CG with the reference's exact termination semantics
+    (ref: qeq.F90:96-166), parameterized over the matvec/Est implementation
+    (ELL row gathers, dense MXU, or the Pallas cell-column sweep)."""
+    if isqeq == 2:
+        qs0 = jnp.where(amask, lex_fqs * qsfp + (1.0 - lex_fqs) * q, 0.0)
+        nmax_eff = 1
+    else:
+        qs0 = jnp.where(amask, q, 0.0)
+        nmax_eff = nmax
+    X0 = jnp.stack([qs0, jnp.zeros_like(q)], axis=1)   # (n, 2) = (qs, qt)
+    # hide the known-zero qt column: XLA otherwise splits the stacked
+    # 2-column matvec gather into a slow flat 1-D gather of qs alone
+    X0 = jax.lax.optimization_barrier(X0)
+
+    G0 = gradient(X0)
+    gnew0 = allreduce(jnp.sum(G0 * G0, axis=0))        # (2,)
+    H0 = G0
+
+    def gnew_safe(g):
+        return jnp.where(jnp.abs(g) > 0.0, g, 1.0)
+
+    # "never converged yet" sentinel (ref GEst2=1.d99, qeq.F90:98) — use the
+    # dtype's own max so the f32 production path doesn't overflow in cast
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    init = (jnp.int32(0), X0, q, H0, G0, gnew0,
+            big, jnp.asarray(0.0, dtype), False)
+
+    def cond(c):
+        it, *_, done = c
+        return (it < nmax_eff) & jnp.logical_not(done)
 
     def body(c):
         (it, X, qcur, Hv, G, gnew, gest2, _, done) = c

@@ -324,8 +324,15 @@ def ctx_qj(ctx: NbCtx, q, img: ImageTable):
     share one geometry context.  The (m, 1) row-gather form lowers to the
     TPU's tiled-row gather path; the flat 1-D form takes the slow scalar
     path (measured 4-15x slower at 3M pairs)."""
-    qe = jnp.tile(q, img.n_images) if img.n_images > 1 else q
-    return qe[:, None][ctx.idx][..., 0]
+    # gather by OWNER (q is image-independent) in the 2-column row-gather
+    # form, which lowers to the TPU's fast tiled gather (5 ms at 3M pairs);
+    # a single-column gather lowers to the flat scalar path (20.7 ms).  The
+    # barrier hides that the columns are identical (XLA would narrow the
+    # gather back to one column), and averaging them keeps both used.
+    oj = img.owner_of(ctx.idx)
+    qpack = jax.lax.optimization_barrier(jnp.stack([q, q], axis=1))
+    rows = qpack[oj]
+    return 0.5 * (rows[..., 0] + rows[..., 1])
 
 
 def pair_rows(ctx: NbCtx, types, ffd: FFDev):
@@ -1531,7 +1538,7 @@ def total_energy(pos, q, H, types, gid, img, nbrs, ffd, amask=None,
 def energy_and_forces(pos, q, H, types, gid, img, nbrs, ffd, amask=None,
                       caps=None, pq=None, spos=None, fast_nonbond=True,
                       closed_form=None, lists=None, with_virial=False,
-                      ctx=None, rows_pre=None):
+                      ctx=None, rows_pre=None, external_nonbond=None):
     """(PE components, forces[, virial]).
 
     Bonded forces are exact -dE/dpos via autodiff; the ghost-force reduction
@@ -1553,18 +1560,20 @@ def energy_and_forces(pos, q, H, types, gid, img, nbrs, ffd, amask=None,
     pass (the autodiff analog of the reference's per-step Σ pos·f stress
     accumulation, pot.F90:65-72).
     """
-    use_fast = fast_nonbond and pq is None
+    use_fast = fast_nonbond and pq is None and external_nonbond is None
     if closed_form is None:
         closed_form = False
     if amask is None:
         amask = jnp.ones(pos.shape[0], dtype=bool)
-    if ctx is None:
+    if ctx is None and external_nonbond is None:
         ctx = nb_ctx(pos, q, H, types, img, nbrs, gid, amask, ffd)
+
+    include_nb = not use_fast and external_nonbond is None
 
     def ecomps(p, H_):
         return energy_components(p, q, H_, types, gid, img, nbrs, ffd,
                                  amask, caps, pq, spos,
-                                 include_nonbond=not use_fast,
+                                 include_nonbond=include_nb,
                                  ctx=ctx, lists=lists)
 
     w = None
@@ -1584,7 +1593,16 @@ def energy_and_forces(pos, q, H, types, gid, img, nbrs, ffd, amask=None,
             return c[0], c
         (_, comps), grad = jax.value_and_grad(etot, has_aux=True)(pos)
         f = -grad
-    if use_fast:
+    if external_nonbond is not None:
+        # nonbond computed by the Pallas cell-column sweep (ops/pairsweep);
+        # splice energies, row forces and pair virial into the result
+        evdw, eclmb, echarge, f_nb, w_nb = external_nonbond
+        comps = comps.at[11].set(evdw).at[12].set(eclmb).at[13].set(echarge)
+        comps = comps.at[0].set(jnp.sum(comps[1:]))
+        f = f + f_nb
+        if with_virial and w_nb is not None:
+            w = w + w_nb
+    elif use_fast:
         if closed_form:
             out = nonbond_cf_energy_forces(ctx, q, types, amask, ffd,
                                            with_virial=with_virial, img=img)

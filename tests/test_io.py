@@ -68,3 +68,45 @@ def test_xyz_roundtrip(tmp_path):
     assert np.allclose(f["pos"], np.asarray(st.pos), atol=1e-5)
     assert (f["types"] == np.asarray(st.types)).all()
     assert np.allclose(f["cell"][:3], [13.18, 11.57, 10.71], atol=1e-3)
+
+
+def test_refbin_multirank_roundtrip(tmp_path):
+    """Per-rank slab write (ref: WriteBIN fileio.F90:587-643): atoms are
+    binned into the vprocs grid in the reference's x-fastest rank order
+    with local normalized coordinates, so the reference can restart at
+    that layout; our reader reassembles the identical state."""
+    ff, st = _state()
+    path = str(tmp_path / "rxff2.bin")
+    refbin.write_rxff_bin(path, st, vprocs=(2, 2, 1))
+    st2, meta = refbin.read_rxff_bin(path)
+    assert meta["nprocs"] == 4
+    assert meta["vprocs"] == (2, 2, 1)
+    assert int(sum(meta["counts"])) == st.n
+    assert (np.asarray(meta["counts"]) > 0).all()
+    # slab order differs from input order: compare after sorting by gid
+    o1 = np.argsort(np.asarray(st.gid))
+    o2 = np.argsort(np.asarray(st2.gid))
+    H = np.asarray(st.H)
+    d = np.asarray(st2.pos)[o2] - np.asarray(st.pos)[o1]
+    # positions agree modulo the box wrap applied at write time
+    frac = d @ np.linalg.inv(H).T
+    frac -= np.round(frac)
+    assert np.abs(frac @ H.T).max() < 1e-9
+    assert np.allclose(np.asarray(st2.vel)[o2], np.asarray(st.vel)[o1])
+    assert np.allclose(np.asarray(st2.q)[o2], np.asarray(st.q)[o1])
+    assert np.allclose(np.asarray(st2.qsfp)[o2], np.asarray(st.qsfp)[o1])
+    assert (np.asarray(st2.types)[o2] == np.asarray(st.types)[o1]).all()
+    # every slab's local normalized coords lie in [0, 1/vprocs) + rounding
+    with open(path, "rb") as fh:
+        head = np.fromfile(fh, np.int32, 4)
+        counts = np.fromfile(fh, np.int32, 4)
+        np.fromfile(fh, np.int32, 1)
+        np.fromfile(fh, np.float64, 6)
+        body = np.fromfile(fh, np.float64).reshape(-1, 10)
+    off = 0
+    for k in range(4):
+        sl = body[off:off + counts[k], 0:3]
+        assert sl[:, 0].max() < 1.0 / 2 + 1e-12   # vx=2
+        assert sl[:, 1].max() < 1.0 / 2 + 1e-12   # vy=2
+        assert sl.min() >= -1e-12
+        off += counts[k]

@@ -1,0 +1,141 @@
+"""Multi-host mesh: the same sharded step graph spanning process
+boundaries (the DCN analog; ref: SURVEY 5.8, reference MPI world
+main.F90:10).
+
+Two OS processes x 4 virtual CPU devices each form one 8-device
+(2,2,2) mesh via jax.distributed; the trajectory must match a
+single-process 8-device run of the identical configuration.
+"""
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+FF = "/root/reference/ffield"
+CELL = "/root/reference/conf/init.rdx/input.xyz"
+
+WORKER = textwrap.dedent("""
+    import os, sys
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["RXMD_TEST_CACHE"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    jax.distributed.initialize(
+        coordinator_address=os.environ["RXMD_COORDINATOR"],
+        num_processes=int(os.environ["RXMD_NUM_PROCESSES"]),
+        process_id=int(os.environ["RXMD_PROCESS_ID"]))
+    assert jax.device_count() == 8, jax.devices()
+    assert jax.local_device_count() == 4
+    import jax.numpy as jnp
+    import numpy as np
+    from rxmd_tpu import ffield, system
+    from rxmd_tpu.config import RunConfig
+    from rxmd_tpu.parallel.engine import ShardedEngine
+    ff = ffield.parse_ffield(%r)
+    st = system.from_cellfile(%r, ff.name_to_type, mc=(2, 2, 2),
+                              dtype=jnp.float32)
+    cfg = RunConfig(mdmode=1, dt_fs=0.25, isQEq=2, qstep=1, pstep=1000,
+                    sstep=1000, dtype="float32")
+    eng = ShardedEngine(ff, st, cfg, mesh_shape=(2, 2, 2),
+                        rctap=5.0, skin_layers=1.0)
+    # rendezvous before the heavy program so the Gloo communicator is
+    # established while both processes are in lockstep (compile-time skew
+    # otherwise exceeds the 30s collective-init deadline)
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("engine-built")
+    eng.prepare()
+    multihost_utils.sync_global_devices("prepared")
+    eng.run(2)
+    stg = eng.to_state()
+    pe = float(eng.comps[0]) / st.n
+    print("MHRESULT", jax.process_index(), st.n, "%%.8f" %% pe,
+          "%%.6e" %% float(np.abs(np.asarray(stg.q)).max()), flush=True)
+""")
+
+
+@pytest.mark.slow
+def test_two_process_mesh(tmp_path):
+    port = socket.socket()
+    port.bind(("127.0.0.1", 0))
+    portno = port.getsockname()[1]
+    port.close()
+
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER % (FF, CELL))
+
+    def launch(portno):
+        procs = []
+        for pid in range(2):
+            env = dict(os.environ)
+            env["XLA_FLAGS"] = (
+                env.get("XLA_FLAGS", "")
+                + " --xla_force_host_platform_device_count=4")
+            env["JAX_PLATFORMS"] = "cpu"
+            env.pop("PALLAS_AXON_POOL_IPS", None)
+            env["RXMD_COORDINATOR"] = f"127.0.0.1:{portno}"
+            env["RXMD_NUM_PROCESSES"] = "2"
+            env["RXMD_PROCESS_ID"] = str(pid)
+            env["PYTHONPATH"] = os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))
+            env["RXMD_TEST_CACHE"] = str(tmp_path / "cache")
+            procs.append(subprocess.Popen(
+                [sys.executable, str(script)], env=env,
+                cwd=os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__))),
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+        res = []
+        for p in procs:
+            out, err = p.communicate(timeout=1800)
+            res.append((p.returncode, out, err))
+        return res
+
+    # Gloo's cross-host collective init has a fixed 30 s deadline; on a
+    # cold compilation cache the two processes' XLA compiles can skew past
+    # it.  The persistent cache is written at compile time (before the
+    # timed-out execution), so one retry runs with warm caches on both
+    # sides and negligible skew.
+    res = launch(portno)
+    if any(rc != 0 for rc, _, _ in res):
+        assert any("DEADLINE_EXCEEDED" in err or "DEADLINE_EXCEEDED" in out
+                   for _, out, err in res), res
+        port = socket.socket()
+        port.bind(("127.0.0.1", 0))
+        portno2 = port.getsockname()[1]
+        port.close()
+        res = launch(portno2)
+    outs = []
+    for rc, out, err in res:
+        assert rc == 0, out + err
+        outs.append(out)
+    lines = [next(l for l in o.splitlines() if l.startswith("MHRESULT"))
+             for o in outs]
+    # both processes computed (via psum over DCN) the same global energy
+    tok0, tok1 = lines[0].split(), lines[1].split()
+    assert tok0[2] == tok1[2] == "1344"
+    assert tok0[3] == tok1[3], (tok0, tok1)
+    pe_mh = float(tok0[3])
+    assert np.isfinite(pe_mh)
+
+    # reference: the SAME configuration on this process's 8 local devices
+    from rxmd_tpu import ffield, system
+    from rxmd_tpu.config import RunConfig
+    from rxmd_tpu.parallel.engine import ShardedEngine
+    ff = ffield.parse_ffield(FF)
+    st = system.from_cellfile(CELL, ff.name_to_type, mc=(2, 2, 2),
+                              dtype=jnp.float32)
+    cfg = RunConfig(mdmode=1, dt_fs=0.25, isQEq=2, qstep=1, pstep=1000,
+                    sstep=1000, dtype="float32")
+    eng = ShardedEngine(ff, st, cfg, mesh_shape=(2, 2, 2),
+                        rctap=5.0, skin_layers=1.0)
+    eng.prepare()
+    eng.run(2)
+    pe_sp = float(eng.comps[0]) / st.n
+    assert abs(pe_mh - pe_sp) < 5e-4 * max(1.0, abs(pe_sp)), (pe_mh, pe_sp)

@@ -68,6 +68,52 @@ def test_two_device_trajectory_matches_single(tmp_path):
     assert "MDstep:" in line and len(line.split()) == 15
 
 
+@pytest.mark.slow
+def test_2x2x2_full_physics_matches_single():
+    """mc=(2,2,2) RDX on a 2x2x2 mesh with FULL physics (rctap=10,
+    3-layer bonded ghost skin): the first correct-VALUE check of y/z-axis
+    halos and transitive corner forwarding (ref: comm.F90:282-287,
+    examples/2-reaxff-dc is the x-only analog).  2 NVE steps with
+    extended-Lagrangian charges; trajectory must match single device."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    ff = ffield.parse_ffield(FF)
+    st = system.from_cellfile(CELL, ff.name_to_type, mc=(2, 2, 2))
+    # tight tol: the cold-start seed solve (isQEq=2 prepare) must converge
+    # to the unique minimizer on both engines (Est termination weights are
+    # decomposition-dependent, see test_two_device_trajectory...)
+    cfg = RunConfig(mdmode=1, dt_fs=0.25, isQEq=2, qstep=1, QEq_tol=1e-12,
+                    pstep=100, sstep=1000, qeq_dense_max=0)
+
+    e1 = md.Engine(ff, st, cfg)
+    e1.prepare()
+    e1.run(2, log=None)
+    s1 = e1.state
+
+    e2 = ShardedEngine(ff, st, cfg, mesh_shape=(2, 2, 2),
+                       devices=jax.devices()[:8])
+    # full physics: the defaults (rctap=10, skin_layers=3) must fit —
+    # assert we are NOT on a reduced-physics configuration
+    assert e2.skin > 10.0
+    e2.prepare()
+    e2.run(2)
+    s2 = e2.to_state()
+
+    assert s2.n == s1.n
+    assert np.array_equal(np.asarray(s2.gid), np.asarray(s1.gid))
+    Hi = np.linalg.inv(np.asarray(st.H))
+    f1 = (np.asarray(s1.pos) @ Hi.T) % 1.0
+    f2 = (np.asarray(s2.pos) @ Hi.T) % 1.0
+    d = np.abs(f1 - f2)
+    d = np.minimum(d, 1.0 - d)
+    assert d.max() < 5e-9, d.max()
+    assert np.abs(np.asarray(s1.q) - np.asarray(s2.q)).max() < 1e-9
+    # energies agree (isQEq=2 is deterministic: exactly 1 CG iter/step)
+    c1 = np.asarray(e1.comps) / st.n
+    c2 = np.asarray(e2.comps) / st.n
+    assert np.abs(c1 - c2).max() < 5e-9, np.abs(c1 - c2).max()
+
+
 def test_sharded_thermostat_mdmode5():
     """mdmode=5 velocity rescale on the sharded path hits treq exactly."""
     if len(jax.devices()) < 2:
