@@ -29,7 +29,8 @@ def run_mode(ff, st, isqeq, nsteps, dtype):
     eng = md.Engine(ff, st, cfg, dtype=dtype)
     eng.prepare()
     prep = time.time() - t0
-    eng.run(2, log=None)            # warmup (covers both step programs)
+    # warmup: cover the single-step AND the fused-block step programs
+    eng.run(2 + getattr(eng, "block_steps", 0), log=None)
     t0 = time.time()
     eng.run(nsteps, log=None)
     wall = time.time() - t0
@@ -40,6 +41,14 @@ def main():
     import jax
     import jax.numpy as jnp
     from rxmd_tpu import ffield, system
+
+    # backend init first, timed separately: on a shared/tunneled chip the
+    # first device op can block on the chip CLAIM for minutes — that wait
+    # is environment latency, not framework compile time, and must not
+    # pollute prepare_sec
+    t0 = time.time()
+    jax.block_until_ready(jnp.zeros(()))
+    claim_sec = time.time() - t0
 
     mc = tuple(int(x) for x in os.environ.get("BENCH_MC", "3,3,3").split(","))
     nsteps = int(os.environ.get("BENCH_STEPS", "20"))
@@ -52,7 +61,8 @@ def main():
         print(f"[bench +{time.time() - t0[0]:.0f}s] {msg}", file=sys.stderr,
               flush=True)
 
-    note(f"N={st.n} atoms (mc={mc}), {nsteps} timed steps per mode")
+    note(f"N={st.n} atoms (mc={mc}), {nsteps} timed steps per mode; "
+         f"backend claim {claim_sec:.0f}s")
     note("mode isQEq=1 (full CG, tol 1e-7 — the baseline's configuration)")
     aps1, prep1, wall1 = run_mode(ff, st, 1, nsteps, dtype)
     note(f"isQEq=1: {aps1:.3e} atom-steps/s  (prepare {prep1:.0f}s)")
@@ -69,6 +79,7 @@ def main():
         "exl_atom_steps_per_sec": round(aps2, 1),
         "natoms": st.n,
         "prepare_sec": round(max(prep1, prep2), 1),
+        "backend_claim_sec": round(claim_sec, 1),
     }))
 
 

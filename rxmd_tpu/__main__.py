@@ -55,14 +55,6 @@ def main(argv=None):
 
     nvp = int(np.prod(cfg.vprocs))
     sharded = nvp > 1
-    if sharded and cfg.mdmode in (0, 6, 10):
-        # mdmode 10 (CG minimization) and 0/6 (Maxwell velocity redraws)
-        # have no sharded implementation yet; failing loudly beats silently
-        # running plain MD (ref dispatch: main.F90:25,45-61)
-        print(f"ERROR: mdmode {cfg.mdmode} is not supported with "
-              "processors > 1 1 1 yet; run with vprocs 1 1 1",
-              file=sys.stderr)
-        return 1
     if sharded:
         # spatial domain decomposition over a device mesh shaped like the
         # rxmd.in `processors` grid (ref: cmdline.F90:273-276, init.F90:48-53)
@@ -104,6 +96,20 @@ def main(argv=None):
 
     if sharded:
         from .io import checkpoint as _ck
+
+        if cfg.mdmode == 10:
+            # sharded structural optimization (ref: main.F90:25, cg.F90);
+            # CG direction vectors migrate with their atoms (MigrateVec3D
+            # analog, cg.F90:292-314)
+            from . import opt
+            opt.conjugate_gradient(eng, ftol=cfg.ftol)
+            final = eng.to_state()
+            if p0:
+                _ck.save(os.path.join(cfg.data_dir, "rxff.npz"), final)
+                refbin.write_rxff_bin(
+                    os.path.join(cfg.data_dir, "rxff.bin"), final)
+            print("structural optimization finished")
+            return 0
 
         def swriter(e):
             stg = e.to_state()          # cross-host collective: all ranks

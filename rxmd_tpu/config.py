@@ -64,14 +64,15 @@ class RunConfig:
     dtype: str = "float64"       # validation default; use float32 on TPU
     kb_cap: int = 0              # 0 = auto-size from first neighbor build
     knb_cap: int = 0
-    nbr_skin: float = 0.2        # Verlet skin [A] added to list cutoffs.
-                                 # Small by design: the drift monitor
-                                 # rebuilds lists when max displacement
-                                 # exceeds skin/2, so a small skin trades
-                                 # slightly more frequent rebuilds (~16
-                                 # steps at 300K) for ~1.4x smaller pair
-                                 # lists in every per-step kernel
-    rebuild_every: int = 20      # neighbor-list rebuild cadence CAP [steps];
+    nbr_skin: float = 0.4        # Verlet skin [A] added to list cutoffs.
+                                 # The drift monitor rebuilds lists when
+                                 # max displacement exceeds skin/2 (~32
+                                 # steps at 300K, dt 0.25 fs).  With the
+                                 # dense minimum-image fast path the pair
+                                 # kernels no longer scale with the skin,
+                                 # so a wider skin mainly buys fewer
+                                 # rebuilds (a rebuild costs ~6 steps)
+    rebuild_every: int = 40      # neighbor-list rebuild cadence CAP [steps];
                                  # the drift monitor usually triggers first
     term_slack: float = 0.1      # many-body list cache: BO-gate thresholds
                                  # are multiplied by this at list build so
@@ -99,6 +100,22 @@ class RunConfig:
                                  # QEq, non-LG, cached term lists); off on
                                  # CPU.  True forces it (interpreter mode
                                  # on CPU — slow, for validation).
+    block_steps: int = 10        # MD steps fused into one dispatched XLA
+                                 # program (lax.scan).  Amortizes the
+                                 # per-dispatch round trip (~64 ms on a
+                                 # remote-tunneled chip) over the block;
+                                 # blocks end on print/write/thermostat/
+                                 # rebuild boundaries.  1 disables.
+    dense_direct_max: int = 6144
+                                 # dense minimum-image fast path for the
+                                 # QEq hessian + nonbond kernels (no
+                                 # neighbor gathers; one-hot MXU params,
+                                 # (n,n) MXU matvecs).  Used in f32
+                                 # closed-form production when the box is
+                                 # orthogonal with min(L) > 2*rctap and
+                                 # n <= this cap (O(n^2) memory/compute:
+                                 # the gather-bound ELL path wins again at
+                                 # large n).  0 disables.
     nonbond_closed_form: bool = None
                                  # None (auto): closed-form vdW/Coulomb/QEq
                                  # kernels in float32 production (VPU math,

@@ -247,6 +247,18 @@ class Engine:
                 self._qeq_fn = pairsweep.make_qeq_pair_fn(
                     self.ffd, nso, float(self.ffd.rctap2))
 
+        # dense minimum-image fast path: replaces the gather-bound ELL
+        # QEq matvecs and nonbond sweep with (n,n) MXU/VPU work (see
+        # reax.qeq_dense_direct / reax.nonbond_dense).  Requires an
+        # orthogonal box with min(L) > 2*rctap so every pair has a unique
+        # minimum image; O(n^2) caps it at cfg.dense_direct_max.
+        L = np.diag(H)
+        self.dense_direct = bool(
+            self.closed_form and self.pq is None
+            and self.pairk is None and ortho
+            and float(L.min()) > 2.0 * rctap
+            and state.n <= cfg.dense_direct_max)
+
         # rebuild trigger: pair lists are valid while drift < skin/2, cached
         # term lists while drift < term_margin/2 (ref rebuilds every step,
         # pot.F90:30-34; the monitor makes the reuse provably safe)
@@ -268,9 +280,18 @@ class Engine:
             if cfg.spring_const and cfg.spring_types
             else jnp.ones((state.n,), bool))
 
-        self._step = jax.jit(self._make_step())
+        self._step_fn = self._make_step()
+        self._step = jax.jit(self._step_fn)
         self._prepare = jax.jit(self._make_prepare())
         self._rebuild = jax.jit(self._make_rebuild())
+        # multi-step blocks: K steps per dispatch via lax.scan.  Over a
+        # remote-tunneled chip every dispatch/host-read costs a full RTT
+        # (measured 64 ms on axon — more than half a step); batching K
+        # steps amortizes it to RTT/K.  One block size → one extra
+        # compile.  Blocks end exactly on print/write/thermostat/rebuild
+        # boundaries so the host-side cadence logic is unchanged.
+        self.block_steps = max(int(cfg.block_steps), 1)
+        self._mstep = None
 
         # per-phase wall-clock accounting (ref: it_timer module.F90:215-217,
         # FinalizeMD report main.F90:128-186)
@@ -401,7 +422,8 @@ class Engine:
                         isqeq=isqeq, nmax=cfg.NMAXQEq, tol=cfg.QEq_tol,
                         lex_fqs=cfg.Lex_fqs, pre=pre,
                         closed_form=self.closed_form,
-                        dense_max=cfg.qeq_dense_max, pair_ops=pair_ops)
+                        dense_max=cfg.qeq_dense_max, pair_ops=pair_ops,
+                        direct=self.dense_direct)
         if isqeq == 1:
             # fictitious charges re-seeded from pre-QEq q (ref: qeq.F90:42-43)
             return res.q, q, jnp.zeros_like(qsfv), res.iters, spos
@@ -553,6 +575,10 @@ class Engine:
             ext_nb = None
             if pair_ops is not None:
                 ext_nb = self._external_nonbond(pair_ops, q, s.types, False)
+            elif self.dense_direct:
+                ext_nb = (*reax.nonbond_dense(
+                    s.pos, q, s.H, s.types,
+                    jnp.ones(s.pos.shape[0], bool), self.ffd), None)
             comps, f = self._forces(s.pos, q, s.H, s.types, s.gid, nbrs,
                                     spos=spos, lists=lists,
                                     external_nonbond=ext_nb)
@@ -589,7 +615,7 @@ class Engine:
             ctx = rows_pre = pair_ops = None
             if self.pairk is not None:
                 pair_ops = self._make_pair_ops(pos, s.H, s.types, sm)
-            elif self.pq is None:
+            elif self.pq is None and not self.dense_direct:
                 amask = jnp.ones(pos.shape[0], bool)
                 ctx = reax.nb_ctx(pos, None, s.H, s.types, self.img, nbrs,
                                   s.gid, amask, self.ffd)
@@ -609,6 +635,10 @@ class Engine:
             ext_nb = None
             if pair_ops is not None:
                 ext_nb = self._external_nonbond(pair_ops, q, s.types, True)
+            elif self.dense_direct:
+                ext_nb = reax.nonbond_dense(
+                    pos, q, s.H, s.types, jnp.ones(pos.shape[0], bool),
+                    self.ffd, with_virial=True)
             comps, f2, w = self._forces(pos, q, s.H, s.types, s.gid, nbrs,
                                         spos=spos, lists=lists,
                                         with_virial=True, ctx=ctx,
@@ -639,6 +669,29 @@ class Engine:
                 step=s.step + 1)
             return s2, f2, comps, nq, ke, maxdr2, astr
         return step
+
+    def _make_multi_step(self, B: int):
+        """K steps in one XLA program (lax.scan over the step body).
+        Returns the last step's observables, the accumulated stress, and
+        the block's running drift maximum + final max velocity (for the
+        host's drift-budget scheduling)."""
+        step = self._step_fn
+        dtype = self.dtype
+
+        def multi(s: State, f, nbrs, lists, sm, pos_ref, astr):
+            def body(carry, _):
+                s, f, astr, mdr = carry
+                s2, f2, comps, nq, ke, maxdr2, astr = step(
+                    s, f, nbrs, lists, sm, pos_ref, astr)
+                return ((s2, f2, astr, jnp.maximum(mdr, maxdr2)),
+                        (comps, nq, ke))
+            (s, f, astr, mdr), outs = jax.lax.scan(
+                body, (s, f, astr, jnp.zeros((), dtype)), None, length=B)
+            comps, nq, ke = (o[-1] for o in outs)
+            vmax2 = jnp.max(jnp.sum(s.vel * s.vel, axis=1))
+            return s, f, comps, nq, ke, mdr, astr, vmax2
+
+        return jax.jit(multi)
 
     # ------------------------------------------------------------------
     def bond_table(self, bo_cutoff=0.3):
@@ -804,11 +857,15 @@ class Engine:
         if not hasattr(self, "_host_step"):
             self._host_step = int(self.state.step)
         t0 = time.time()
-        for k in range(nsteps):
+        self._last_maxdr = getattr(self, "_last_maxdr", None)
+        self._vmax = getattr(self, "_vmax", None)
+        k = 0
+        while k < nsteps:
             stepno = self._host_step
             if cfg.mdmode in (0, 6) and stepno % cfg.sstep == 0 and k > 0:
                 # periodic Maxwell-Boltzmann redraw (ref: main.F90:53-54)
                 self.init_velocity(seed=stepno)
+                self._vmax = None
             if stepno % cfg.pstep == 0:
                 nq = int(self.nqeq)
                 tm.count("QEq iterations", nq)
@@ -820,10 +877,10 @@ class Engine:
             if writer is not None and stepno % cfg.fstep == 0:
                 with tm("trajectory output"):
                     writer(self.state, self.comps)
-            # drift check lags one step (reads the last *completed* step's
-            # monitor) and is only polled once the window could plausibly
-            # have drifted; the trigger at 0.8x of the half-skin bound
-            # absorbs both the lag and the polling cadence
+            # drift check: block dispatches read the running block maximum
+            # synchronously (one round trip per block); single-step
+            # dispatches poll lazily on a cadence as before.  The trigger
+            # at 0.8x of the half-skin bound absorbs the lag.
             prev_dr2 = getattr(self, "_maxdr2_dev", None)
             poll = (prev_dr2 is not None
                     and self._steps_since_rebuild >= self.drift_check_from
@@ -831,6 +888,9 @@ class Engine:
                     == 0)
             drifted = (poll
                        and float(prev_dr2) ** 0.5 > 0.8 * self.drift_trigger)
+            if self._last_maxdr is not None \
+                    and self._last_maxdr > 0.8 * self.drift_trigger:
+                drifted = True
             if self._steps_since_rebuild >= self.rebuild_every or drifted:
                 if drifted:
                     tm.count("drift-triggered rebuilds", 1)
@@ -846,16 +906,55 @@ class Engine:
                 self._pos_ref = self.state.pos
                 self._steps_since_rebuild = 0
                 self._maxdr2_dev = None
-            with tm("MD step (dispatch)"):
-                out = self._step(self.state, self.force, self.nbrs,
-                                 self.tlists, self._slotmap,
-                                 self._pos_ref, self._astr)
-            (self.state, self.force, self.comps, self.nqeq, self._ke,
-             self._maxdr2_dev, self._astr) = out
-            self._astr_steps += 1
-            self._steps_since_rebuild += 1
-            self._host_step += 1
-            tm.count("MD steps", 1)
+                self._last_maxdr = None
+
+            # steps until the next host-side boundary (print, frame,
+            # velocity redraw, rebuild cadence, run end)
+            nb = nsteps - k
+            nb = min(nb, cfg.pstep - stepno % cfg.pstep)
+            if writer is not None:
+                nb = min(nb, cfg.fstep - stepno % cfg.fstep)
+            if cfg.mdmode in (0, 6):
+                nb = min(nb, cfg.sstep - stepno % cfg.sstep)
+            nb = min(nb, self.rebuild_every - self._steps_since_rebuild)
+            # drift budget: max displacement grows at most ~vmax*dt/step;
+            # cap the block so the skinned lists provably stay valid
+            if self._vmax is None and nb >= self.block_steps > 1:
+                # no velocity bound yet (fresh start/redraw): one read
+                self._vmax = float(jnp.max(
+                    jnp.sum(self.state.vel * self.state.vel,
+                            axis=1))) ** 0.5
+            if self._vmax is not None and self._vmax > 0.0:
+                room = 0.8 * self.drift_trigger - (self._last_maxdr or 0.0)
+                budget = int(room / (1.25 * self._vmax * self.dt))
+                nb = min(nb, max(budget, 1))
+
+            if nb >= self.block_steps > 1:
+                if self._mstep is None:
+                    self._mstep = self._make_multi_step(self.block_steps)
+                with tm("MD block (dispatch)"):
+                    out = self._mstep(self.state, self.force, self.nbrs,
+                                      self.tlists, self._slotmap,
+                                      self._pos_ref, self._astr)
+                (self.state, self.force, self.comps, self.nqeq, self._ke,
+                 mdr, self._astr, vmax2) = out
+                self._last_maxdr = float(mdr) ** 0.5
+                self._vmax = float(vmax2) ** 0.5
+                self._maxdr2_dev = None
+                nadv = self.block_steps
+            else:
+                with tm("MD step (dispatch)"):
+                    out = self._step(self.state, self.force, self.nbrs,
+                                     self.tlists, self._slotmap,
+                                     self._pos_ref, self._astr)
+                (self.state, self.force, self.comps, self.nqeq, self._ke,
+                 self._maxdr2_dev, self._astr) = out
+                nadv = 1
+            self._astr_steps += nadv
+            self._steps_since_rebuild += nadv
+            self._host_step += nadv
+            k += nadv
+            tm.count("MD steps", nadv)
         jax.block_until_ready(self.state.pos)
         wall = time.time() - t0
         tm.add("MD loop (wall)", wall, nsteps)

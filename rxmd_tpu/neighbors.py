@@ -110,11 +110,24 @@ class Neighbors(NamedTuple):
 
 def _select_k(mask, k):
     """Indices of up to k True entries per row (lowest index first).
-    A capacity beyond the candidate width pads with -1."""
+    A capacity beyond the candidate width pads with -1.
+
+    Row-wise cumsum + scatter compaction: O(C) per row with per-row-sorted
+    scatter indices.  (A top_k over the full candidate width lowers to an
+    iterative TPU sort network — measured 460 ms for (4.5k, 1700) -> 640
+    where this formulation takes ~10 ms.)"""
     keff = min(k, mask.shape[-1])
-    score = mask.astype(jnp.int32)
-    vals, idx = jax.lax.top_k(score, keff)
-    idx = jnp.where(vals > 0, idx, -1).astype(jnp.int32)
+    n, C = mask.shape
+    pos = jnp.cumsum(mask, axis=1, dtype=jnp.int32) - 1
+    # flat 1-D scatter with strictly increasing destinations (row-major,
+    # rank-ordered): XLA's sorted-scatter path.  A 2-D row scatter, a
+    # top_k, and a batched searchsorted all measured 50-80x slower here.
+    sel = mask & (pos < keff)
+    dst = jnp.where(sel, jnp.arange(n, dtype=jnp.int32)[:, None] * keff
+                    + pos, n * keff)                    # OOB -> dropped
+    col = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32), (n, C))
+    idx = jnp.full((n * keff,), -1, jnp.int32).at[dst.reshape(-1)].set(
+        col.reshape(-1), mode="drop").reshape(n, keff)
     if keff < k:
         idx = jnp.pad(idx, ((0, 0), (0, k - keff)), constant_values=-1)
     return idx
@@ -182,7 +195,11 @@ def make_cell_grid(lo, hi, maxrc, rctap, density_per_A3=0.15,
     ncells = np.maximum(np.floor(ext / max(maxrc, 2.0)).astype(int), 1)
     cellsize = ext / ncells
     if ccap is None:
-        ccap = max(8, int(np.ceil(np.prod(cellsize) * density_per_A3 * 2)))
+        # candidate width (and every downstream gather/select) scales with
+        # ccap: size for measured-density cells + fluctuation margin, and
+        # let the overflow check trigger a regrid instead of padding 2x
+        ccap = max(6, int(np.ceil(np.prod(cellsize) * density_per_A3 * 1.4))
+                   + 2)
     st_b = tuple((i, j, k) for i in (-1, 0, 1) for j in (-1, 0, 1)
                  for k in (-1, 0, 1))
     st_nb = sphere_stencil(cellsize, rctap)
@@ -233,6 +250,42 @@ def _stencil_candidates(table, cid3, stencil, grid: CellGrid):
     return cand.reshape(cand.shape[0], -1)
 
 
+_FAR = 1.0e4      # padded-slot coordinate: dr2 ~ 1e8 fails every cutoff
+
+
+def _cell_table_packed(pos, valid, types, grid: CellGrid):
+    """Cell binning with PACKED per-slot payloads: positions + type in a
+    (ncell+1, ccap, 4) array (FAR sentinel in empty slots) and the ext-row
+    index table.  Stencil consumers then gather whole ccap-row blocks —
+    coarse-grained transfers instead of 12-byte scattered picks (measured
+    ~6x faster at 20M candidate slots)."""
+    m = pos.shape[0]
+    nc = np.array(grid.ncells)
+    ctot = int(np.prod(nc))
+    ccap = grid.ccap
+    rel = (pos - jnp.asarray(grid.lo, pos.dtype)) / jnp.asarray(
+        grid.cellsize, pos.dtype)
+    cid3 = jnp.clip(jnp.floor(rel).astype(jnp.int32), 0,
+                    jnp.asarray(nc - 1, jnp.int32))
+    cid = (cid3[:, 0] * nc[1] + cid3[:, 1]) * nc[2] + cid3[:, 2]
+    cid = jnp.where(valid, cid, ctot)
+    order = jnp.argsort(cid)
+    scid = cid[order]
+    start = jnp.searchsorted(scid, jnp.arange(ctot + 1, dtype=scid.dtype))
+    rank = jnp.arange(m, dtype=jnp.int32) - start[scid].astype(jnp.int32)
+    inb = (rank < ccap) & (scid < ctot)
+    dst = jnp.where(inb, scid * ccap + rank, ctot * ccap)   # sorted; OOB drop
+    payload = jnp.concatenate(
+        [pos, types.astype(pos.dtype)[:, None]], axis=1)[order]
+    slot_pay = jnp.full((ctot * ccap + 1, 4), _FAR, pos.dtype)
+    slot_pay = slot_pay.at[dst].set(payload, mode="drop")
+    slot_idx = jnp.full((ctot * ccap + 1,), -1, jnp.int32)
+    slot_idx = slot_idx.at[dst].set(order.astype(jnp.int32), mode="drop")
+    occ_overflow = jnp.max(jnp.where(scid < ctot, rank + 1, 0))
+    return (slot_pay[:-1].reshape(ctot, ccap, 4),
+            slot_idx[:-1].reshape(ctot, ccap), cid3, occ_overflow)
+
+
 @functools.partial(jax.jit, static_argnames=("grid", "kb", "knb", "nrows"))
 def build_neighbors_cells(pos, valid, types, grid: CellGrid, rc2_by_type,
                           rctap2, kb: int, knb: int, nrows: int = None):
@@ -245,28 +298,50 @@ def build_neighbors_cells(pos, valid, types, grid: CellGrid, rc2_by_type,
     """
     m = pos.shape[0]
     nrows = nrows or m
-    table, cid3, overflow = _cell_table(pos, valid, grid)
+    slot_pay, slot_idx, cid3, overflow = _cell_table_packed(
+        pos, jnp.where(valid, jnp.ones(m, bool), False), types, grid)
     rowsl = slice(0, nrows)
+    nc = np.array(grid.ncells)
+    ctot = int(np.prod(nc))
+    ccap = grid.ccap
+    # one empty cell appended as the out-of-bounds target
+    slot_pay = jnp.concatenate(
+        [slot_pay, jnp.full((1, ccap, 4), _FAR, pos.dtype)])
+    slot_idx = jnp.concatenate(
+        [slot_idx, jnp.full((1, ccap), -1, jnp.int32)])
+    nso = rc2_by_type.shape[0]
+    rc2row = rc2_by_type[types[rowsl]]                  # (nrows, nso)
 
-    def lists(stencil, rc2_fn, cap):
-        cand = _stencil_candidates(table, cid3[rowsl], stencil, grid)
-        cidx = jnp.where(cand >= 0, cand, 0)           # (nrows, C)
-        d = pos[rowsl, None, :] - pos[cidx]
+    def lists(stencil, bonded, cap):
+        offs = jnp.asarray(np.array(stencil, np.int32))
+        nb3 = cid3[rowsl, None, :] + offs[None, :, :]   # (nrows, S, 3)
+        oob = ((nb3 < 0) | (nb3 >= jnp.asarray(nc))).any(axis=-1)
+        nbc = (nb3[..., 0] * nc[1] + nb3[..., 1]) * nc[2] + nb3[..., 2]
+        nbc = jnp.where(oob, ctot, nbc)
+        S = offs.shape[0]
+        pay = slot_pay[nbc].reshape(nrows, S * ccap, 4)     # coarse gather
+        cand = slot_idx[nbc].reshape(nrows, S * ccap)
+        d = pos[rowsl, None, :] - pay[..., :3]
         dr2 = jnp.sum(d * d, axis=-1)
-        mask = ((cand >= 0) & (cand != jnp.arange(nrows)[:, None])
-                & valid[rowsl, None] & valid[cidx] & rc2_fn(dr2, cidx))
+        if bonded:
+            # per-pair sigma-bond cutoff via a one-hot contraction on the
+            # packed neighbor type (no (nrows, C) small-table gather)
+            tjoh = (pay[..., 3, None]
+                    == jnp.arange(nso, dtype=pos.dtype)).astype(pos.dtype)
+            rc2p = jnp.einsum("nck,nk->nc", tjoh, rc2row,
+                              preferred_element_type=pos.dtype)
+            inr = dr2 < rc2p
+        else:
+            inr = dr2 <= rctap2
+        mask = inr & (cand != jnp.arange(nrows)[:, None])
         slot = _select_k(mask, cap)                    # positions in cand row
         idx = jnp.where(slot >= 0,
-                        jnp.take_along_axis(cidx, jnp.maximum(slot, 0),
+                        jnp.take_along_axis(cand, jnp.maximum(slot, 0),
                                             axis=1), -1)
         return idx.astype(jnp.int32), mask.sum(axis=1, dtype=jnp.int32)
 
-    tj = types
-    idxb, cntb = lists(
-        grid.stencil_b,
-        lambda dr2, c: dr2 < rc2_by_type[tj[rowsl, None], tj[c]], kb)
-    idxnb, cntnb = lists(
-        grid.stencil_nb, lambda dr2, c: dr2 <= rctap2, knb)
+    idxb, cntb = lists(grid.stencil_b, True, kb)
+    idxnb, cntnb = lists(grid.stencil_nb, False, knb)
     return Neighbors(idxb=idxb, cntb=cntb, idxnb=idxnb, cntnb=cntnb), overflow
 
 

@@ -2,26 +2,31 @@
 
 The TPU-native equivalent of the reference's MPI rank grid
 (ref: init.F90:75-100): a `jax.sharding.Mesh` with axes ("x","y","z"), one
-spatial subdomain per device, fixed per-device atom capacity.  One MD step is
-a single `jax.shard_map`-ped function containing:
+spatial subdomain per device, fixed per-device atom capacity.
 
-  migration (COPYATOMS MODE_MOVE, comm.F90 / main.F90:75)
-  -> halo plan construction (MODE_COPY, pot.F90:28)
-  -> cell-list neighbor build
-  -> QEq CG with psum reductions and per-iteration ghost refresh
-     (MODE_QCOPY1/2, qeq.F90:86-164)
-  -> forces as grad of the psum'd total energy (ghost-force copy-back
-     MODE_CPBK arises as the transpose of the halo ppermutes)
-  -> velocity-Verlet kicks.
+Cadence architecture (same as the single-device engine, md.Engine):
 
-Within-shard compute reuses the exact same `reax` potential as the
-single-device engine, in "identity image" mode: rows = residents + ghosts,
-energies summed over resident rows only.
+  REBUILD (every `rebuild_every` steps or on drift trigger — one sharded
+  program): wrap -> migration (COPYATOMS MODE_MOVE, comm.F90:232-270)
+  -> halo plan construction (MODE_COPY, pot.F90:28) -> cell-list neighbor
+  build with Verlet-skin-extended cutoffs -> cached many-body term lists
+  (slackened gates, re-gated live at evaluation).
+
+  STEP (every step — one sharded program): thermostat -> kick -> drift ->
+  ghost refresh through the SAVED plan -> shared pair context -> QEq CG
+  with psum reductions and per-iteration ghost refresh (MODE_QCOPY1/2,
+  qeq.F90:86-164) -> forces as grad of the psum'd total energy (ghost-force
+  copy-back MODE_CPBK arises as the transpose of the halo ppermutes) ->
+  velocity-Verlet kicks + drift monitor.
+
+The reference rebuilds its lists every step (pot.F90:30-34); the drift
+monitor makes the reuse provably safe (atoms move < skin/2 between
+rebuilds), exactly like md.Engine.  Within-shard compute reuses the exact
+same `reax` potential as the single-device engine, in "identity image"
+mode: rows = residents + ghosts, energies summed over resident rows only.
 """
 from __future__ import annotations
 
-import dataclasses
-import functools
 from typing import NamedTuple
 
 import jax
@@ -60,6 +65,13 @@ class ShardedState(NamedTuple):
 
 
 NFIELDS = len(ShardedState._fields)
+
+
+def _tree_specP(tree):
+    """Shard every array leaf along its leading axis over the full mesh
+    (per-device blocks stacked)."""
+    return jax.tree.map(lambda _: P(("x", "y", "z")), tree,
+                        is_leaf=lambda x: isinstance(x, jax.Array))
 
 
 def factor_mesh(n: int):
@@ -118,16 +130,19 @@ class ShardedEngine:
 
     def __init__(self, ff: ForceField, state: State, cfg: RunConfig,
                  mesh_shape=None, devices=None, dtype=None,
-                 ncap=None, bcap=None, mcap=64, rctap=None,
+                 ncap=None, bcap=None, mcap=None, rctap=None,
                  skin_layers=3.0):
         self.ff = ff
         self.cfg = cfg
+        if cfg.mdmode == 0:
+            cfg.isQEq = 1      # ref: init.F90:56-63
         self.dtype = dtype or jnp.dtype(cfg.dtype)
         devices = devices if devices is not None else jax.devices()
         if mesh_shape is None:
             mesh_shape = factor_mesh(len(devices))
         self.mesh_shape = tuple(mesh_shape)
         ndev = int(np.prod(mesh_shape))
+        self.ndev = ndev
         self.mesh = Mesh(np.asarray(devices[:ndev]).reshape(mesh_shape),
                          ("x", "y", "z"))
 
@@ -139,6 +154,7 @@ class ShardedEngine:
         if rctap is None:
             rctap = units.RCTAP0_PQEQ if cfg.isPQEq else units.RCTAP0
         rctap = float(rctap)
+        self.rctap = rctap
         self.pq = None
         if cfg.isPQEq:
             from .. import pqeq as pqeq_mod
@@ -162,13 +178,24 @@ class ShardedEngine:
         self.Hi = jnp.asarray(np.linalg.inv(H), self.dtype)
         L = np.diag(H)
 
+        # closed-form nonbond/QEq kernels in f32 production; interpolation
+        # tables (bit-parity with the reference) in f64 validation — the
+        # same selection rule as md.Engine
+        self.closed_form = (cfg.nonbond_closed_form
+                            if cfg.nonbond_closed_form is not None
+                            else self.dtype == jnp.dtype(jnp.float32))
+
         from ..ffield import effective_maxrc
         maxrc = effective_maxrc(ff, np.asarray(state.types))
+        # Verlet skin: lists built with extended cutoffs, reused for up to
+        # rebuild_every steps; the energy kernels re-check the true cutoffs
+        self.skin_nb = cfg.nbr_skin
         # ghost skin: 3*maxrc covers the deepest bonded dependency chain
         # (resident energy -> BO(k,l) with l at 2rc -> deltap(l) needing
-        # positions at 3rc); the taper cutoff covers nonbonded/QEq.
-        # (The reference uses NMINCELL cell layers, pot.F90:28.)
-        skin = max(float(skin_layers) * maxrc, rctap) + 0.3
+        # positions at 3rc); the taper cutoff covers nonbonded/QEq; plus
+        # the Verlet drift margin.  (The reference uses NMINCELL cell
+        # layers, pot.F90:28.)
+        skin = max(float(skin_layers) * maxrc, rctap) + self.skin_nb + 0.1
         self.skin = skin
         local = L / np.asarray(mesh_shape)
         if (local < skin).any() and max(mesh_shape) > 1:
@@ -182,25 +209,47 @@ class ShardedEngine:
         self.ncap = ncap
         # ghost buffer: volume ratio of the skin expansion, with margin
         if bcap is None:
-            dens = state.n / np.prod(L)
             grow = np.prod(1 + 2 * skin / local) - 1.0
             bcap = int(np.ceil(ncap * max(grow, 1.0) / 3.0)) + 32
         self.bcap = bcap
-        self.mcap = min(mcap, ncap)
+        # migration buffer: atoms crossing during a whole rebuild window
+        self.mcap = min(mcap or max(64, ncap // 4), ncap)
         self.spec = halo.HaloSpec(
             axes=("x", "y", "z"), mesh_shape=self.mesh_shape,
             skin_frac=tuple(skin / L), ncap=ncap, bcap=bcap)
         self.mext = ncap + 6 * bcap
 
+        # many-body list caching (same contract as md.Engine)
+        self.term_cache = cfg.term_cache
+        self.term_slack = cfg.term_slack if self.term_cache else 1.0
+        self.term_margin = cfg.term_margin if self.term_cache else 0.0
+
         # neighbor/term capacities from a single-device probe (on host CPU)
         from ..md import probe_capacities
-        self.kb, self.knb, self.caps = probe_capacities(
-            ff, self.state0, self.ffd, rctap, self.dtype)
+        self.kb, self.knb, caps_g = probe_capacities(
+            ff, self.state0, self.ffd, rctap, self.dtype,
+            skin=self.skin_nb, term_slack=self.term_slack,
+            term_margin=self.term_margin)
+        # flat term-list capacities are per-shard: resident centers divide
+        # across devices (4x headroom absorbs density imbalance; overflow
+        # is checked every rebuild and aborts loudly)
+        def _shard_cap(v):
+            return min(v, -(-v * 4 // ndev) + 256) if ndev > 1 else v
+        self.caps = dict(caps_g)
+        for k in ("ang", "tor", "hbf"):
+            self.caps[k] = _shard_cap(caps_g[k])
+
+        # skinned cutoffs for the neighbor build (re-gated at evaluation)
+        rc2b = np.asarray(self.ffd.rc2b)
+        rcb_ext = (np.sqrt(rc2b) + self.skin_nb) ** 2 * (rc2b > 0)
+        self.rc2b_ext = jnp.asarray(rcb_ext, self.dtype)
+        self.rctap2_ext = jnp.asarray((rctap + self.skin_nb) ** 2, self.dtype)
 
         # local cell grid over the skin-extended subdomain (frac-relative)
         lo = -skin * np.ones(3)
         hi = local + skin
-        self.grid = neighbors.make_cell_grid(lo, hi, max(maxrc, 2.0), rctap)
+        self.grid = neighbors.make_cell_grid(
+            lo, hi, max(maxrc + self.skin_nb, 2.0), rctap + self.skin_nb)
 
         # integration constants
         self.dt = cfg.dt_fs / units.UTIME
@@ -208,21 +257,34 @@ class ShardedEngine:
         self.dthm = jnp.asarray(self.dt * 0.5 / ff.mass, self.dtype)
         self.hmas = jnp.asarray(0.5 * ff.mass, self.dtype)
 
+        # rebuild trigger (same rule as md.Engine)
+        self.rebuild_every = cfg.rebuild_every
+        lim = self.skin_nb
+        if self.term_cache and self.term_margin > 0.0:
+            lim = min(lim, self.term_margin)
+        self.drift_trigger = 0.5 * lim
+        self.drift_check_from = 4
+        self.drift_check_every = 2
+
         self.sstate = distribute(self.state0, self.mesh_shape, ncap)
         if jax.process_count() > 1:
             # multi-host mesh (the DCN/ICI analog of the reference's MPI
             # world, ref: SURVEY 5.8): every process computed the identical
             # host-side state; commit it as a global array so jit+shard_map
             # spans process boundaries
-            from jax.sharding import NamedSharding
-            sh = NamedSharding(self.mesh, P(("x", "y", "z")))
-            self.sstate = jax.tree.map(
-                lambda a: jax.make_array_from_callback(
-                    a.shape, sh, lambda idx: np.asarray(a)[idx]),
-                self.sstate)
-        self._step = self._build_step()
+            self.sstate = jax.tree.map(self._commit, self.sstate)
+        self._build_programs()
 
     # ------------------------------------------------------------------
+    def _commit(self, a):
+        """Host array -> global device array sharded over the mesh (every
+        process holds the identical host copy)."""
+        from jax.sharding import NamedSharding
+        sh = NamedSharding(self.mesh, P(("x", "y", "z")))
+        arr = np.asarray(a)
+        return jax.make_array_from_callback(arr.shape, sh,
+                                            lambda idx: arr[idx])
+
     def _local_frame(self):
         """Per-device offset of the subdomain origin in fractional coords."""
         nx, ny, nz = self.mesh_shape
@@ -234,16 +296,20 @@ class ShardedEngine:
     def _psum(self, x):
         return jax.lax.psum(x, ("x", "y", "z"))
 
-    def _migrate(self, s: ShardedState):
+    def _migrate(self, s: ShardedState, extras: dict = None):
         """Move atoms whose coordinate left the local box to the face
         neighbor, one axis at a time (COPYATOMS MODE_MOVE semantics,
-        comm.F90:232-270,440).  Returns (state, mig_max): the max send
-        count over phases so the caller can abort on buffer overflow like
-        the reference (ref: comm.F90:467-472) instead of dropping atoms."""
+        comm.F90:232-270,440).  `extras` are additional (ncap, ...) arrays
+        that ride with the atoms — the analog of the reference optimizer's
+        MigrateVec3D (ref: cg.F90:292-314).  Returns (state, extras,
+        mig_max): the max send count over phases so the caller can abort on
+        buffer overflow like the reference (ref: comm.F90:467-472) instead
+        of dropping atoms."""
         nxs = self.mesh_shape
         mcap = self.mcap
         payload = s._asdict()
         valid = payload.pop("valid")
+        payload.update(extras or {})
         mig_max = jnp.int32(0)
         for ax, name in ((0, "x"), (1, "y"), (2, "z")):
             n = nxs[ax]
@@ -277,15 +343,15 @@ class ShardedEngine:
                 dst = jnp.where(place, fsel, self.ncap)  # ncap: scratch slot
                 for k in payload:
                     pv = payload[k]
-                    upd = jax.tree.map(lambda r: r, recv[k])
                     payload[k] = pv.at[dst].set(
                         jnp.where(place.reshape((mcap,) + (1,) *
                                                 (pv.ndim - 1)),
-                                  upd, pv[dst]), mode="drop")
+                                  recv[k], pv[dst]), mode="drop")
                 valid = valid.at[dst].set(
                     jnp.where(place, True, valid[dst]), mode="drop")
+        out_extras = {k: payload.pop(k) for k in (extras or {})}
         payload["valid"] = valid
-        return ShardedState(**payload), mig_max
+        return ShardedState(**payload), out_extras, mig_max
 
     # ------------------------------------------------------------------
     def _zero_momentum(self, s: ShardedState, v):
@@ -337,28 +403,70 @@ class ShardedEngine:
         return s._replace(vel=jnp.where(s.valid[:, None], v, 0.0))
 
     # ------------------------------------------------------------------
-    def _compute(self, s: ShardedState, do_qeq, prep=False):
-        """Halo + neighbors + QEq/PQEq + forces + virial for the current
-        configuration.  Returns (new q/qsfp/qsfv/spos, force on residents,
-        comps, virial (3,3) local contribution, nqeq, halo_max).
-        `prep=True` forces a full CG solve and seeds qsfp (cold-start
-        warm-up of the extended-Lagrangian charge DOF)."""
+    def _rebuild_block(self, s: ShardedState, extras: dict = None):
+        """Wrap + migrate + halo plan + skinned neighbor lists + cached
+        term lists (the sharded analog of md.Engine._make_rebuild)."""
+        spec = self.spec
+        frac = jnp.where(s.valid[:, None], s.frac % 1.0, 0.0)
+        s = s._replace(frac=frac)
+        s, extras, mig_max = self._migrate(s, extras)
+
+        plan, frac_ext, valid_ext = halo.build_plan(s.frac, s.valid, spec)
+        tex = halo.apply_plan(plan, s.types, spec)
+        gex = halo.apply_plan(plan, s.gid, spec)
+        mylo = self._local_frame()
+        pos_rel = (frac_ext - mylo[None, :]) @ self.Hg.T
+        nbrs, cell_ovf = neighbors.build_neighbors_cells(
+            pos_rel, valid_ext, tex, self.grid, self.rc2b_ext,
+            self.rctap2_ext, self.kb, self.knb)
+
+        lists = ()
+        cnts = [jnp.int32(0)] * 3
+        if self.term_cache:
+            img = identity_image(self.mext, self.dtype)
+            amask = jnp.zeros(self.mext, bool).at[:spec.ncap].set(s.valid)
+            bo = reax.bond_order(pos_rel, self.Hg, tex, img, nbrs, self.ffd)
+            al = reax.build_angle_list(
+                tex, img, nbrs, bo, amask, self.ffd, cap=self.caps["ang"],
+                ks=self.caps["ks"], slack=self.term_slack,
+                margin=self.term_margin)
+            tl = reax.build_torsion_list(
+                tex, gex, img, nbrs, bo, amask, self.ffd,
+                cap=self.caps["tor"], ks=self.caps["ks"],
+                slack=self.term_slack, margin=self.term_margin)
+            hl = reax.build_hbond_list(
+                pos_rel, self.Hg, tex, img, nbrs, bo, amask, self.ffd,
+                cap=self.caps["hbf"], kh=self.caps["kh"],
+                slack=self.term_slack, margin=self.term_margin)
+            cnts = [al.cnt, tl.cnt, hl.cnt]
+            # scalar leaves can't ride the stacked block sharding
+            lists = tuple(x._replace(cnt=x.cnt[None]) for x in (al, tl, hl))
+
+        # rebuild diagnostics: mesh-wide maxima, replicated so the host
+        # check is addressable on every process (multi-host safe)
+        diag = jax.lax.pmax(jnp.stack([
+            mig_max, plan.cnt_send.max(), cell_ovf.astype(jnp.int32),
+            nbrs.cntb.max(), nbrs.cntnb.max(), *cnts]),
+            ("x", "y", "z"))[None, :]
+        return s, extras, tex, gex, plan, nbrs, lists, diag
+
+    # ------------------------------------------------------------------
+    def _compute(self, s: ShardedState, tex, gex, plan, nbrs, lists,
+                 do_qeq, prep=False):
+        """Ghost refresh + shared pair context + QEq/PQEq + forces + virial
+        for the current configuration, using the saved halo plan and cached
+        lists.  Returns (new q/qsfp/qsfv/spos, force on residents, comps,
+        virial (3,3), nqeq)."""
         spec = self.spec
         ncap, mext = self.ncap, self.mext
         dtype = self.dtype
         mylo = self._local_frame()
 
-        plan, frac_ext, valid_ext = halo.build_plan(s.frac, s.valid, spec)
-        types_ext = halo.apply_plan(plan, s.types, spec)
-        gid_ext = halo.apply_plan(plan, s.gid, spec)
+        frac_ext = halo.apply_plan(plan, s.frac, spec, is_frac=True)
         resident_ext = jnp.zeros(mext, bool).at[:ncap].set(s.valid)
         amask = resident_ext
         img = identity_image(mext, dtype)
-
         pos_rel = (frac_ext - mylo[None, :]) @ self.Hg.T
-        nbrs, _ovf = neighbors.build_neighbors_cells(
-            pos_rel, valid_ext, types_ext, self.grid, self.ffd.rc2b,
-            self.ffd.rctap2, self.kb, self.knb)
 
         refresh = lambda x: halo.apply_plan(plan, x[:ncap], spec)
 
@@ -366,6 +474,19 @@ class ShardedEngine:
         q_ext = refresh(s.q)
         spos_ext = halo.apply_plan(plan, s.spos, spec)
         spos_new = s.spos
+
+        # ONE pair context per step, shared by the QEq hessian and the
+        # nonbond kernels (the analog of the reference reusing nbplist,
+        # pot.F90:34 + qeq.F90:183) — QEq path only, like md.Engine
+        ctx = rows_pre = pre = None
+        use_fast_nb = self.pq is None
+        if use_fast_nb:
+            ctx = reax.nb_ctx(pos_rel, None, self.Hg, tex, img, nbrs,
+                              gex, amask, self.ffd)
+            if not self.closed_form:
+                rows_pre = reax.pair_rows(ctx, tex, self.ffd)
+            pre = (ctx, *rows_pre) if rows_pre else (ctx, None, None)
+
         isqeq = 1 if (prep and cfg.isQEq == 2) else cfg.isQEq
         if cfg.isQEq and do_qeq:
             if self.pq is not None:
@@ -375,7 +496,7 @@ class ShardedEngine:
                 from .. import pqeq as pqeq_mod
                 qn, sp_ext, nq, _ = pqeq_mod.solve(
                     pos_rel, spos_ext, q_ext, refresh(s.qsfp), self.Hg,
-                    types_ext, img, nbrs, self.ffd, self.pq, amask=amask,
+                    tex, img, nbrs, self.ffd, self.pq, amask=amask,
                     isqeq=isqeq, nmax=cfg.NMAXQEq, tol=cfg.QEq_tol,
                     lex_fqs=cfg.Lex_fqs, allreduce=self._psum,
                     refresh=refresh,
@@ -386,11 +507,12 @@ class ShardedEngine:
                 spos_ext = halo.apply_plan(plan, spos_new, spec)
             else:
                 res = qeq.solve(
-                    pos_rel, q_ext, refresh(s.qsfp), self.Hg, types_ext,
+                    pos_rel, q_ext, refresh(s.qsfp), self.Hg, tex,
                     img, nbrs, self.ffd, amask=amask, isqeq=isqeq,
                     nmax=cfg.NMAXQEq, tol=cfg.QEq_tol, lex_fqs=cfg.Lex_fqs,
                     allreduce=self._psum, refresh=refresh,
-                    resident_ext=resident_ext)
+                    resident_ext=resident_ext,
+                    closed_form=self.closed_form, pre=pre)
                 q_new, nq = jnp.where(s.valid, res.q[:ncap], 0.0), res.iters
         else:
             q_new, nq = s.q, jnp.int32(0)
@@ -402,17 +524,15 @@ class ShardedEngine:
             qsfp, qsfv = s.qsfp, s.qsfv
         q_ext_new = refresh(q_new)
 
-        use_fast_nb = self.pq is None
-
         def etot(frac_res, eps):
             strain = jnp.eye(3, dtype=dtype) + eps
             fx = halo.apply_plan(plan, frac_res, spec, is_frac=True)
             pr = ((fx - mylo[None, :]) @ self.Hg.T) @ strain.T
             comps = reax.energy_components(
-                pr, q_ext_new, strain @ self.Hg, types_ext, gid_ext, img,
+                pr, q_ext_new, strain @ self.Hg, tex, gex, img,
                 nbrs, self.ffd, amask=amask, caps=self.caps,
                 include_nonbond=not use_fast_nb, pq=self.pq,
-                spos=spos_ext)
+                spos=spos_ext, lists=lists or None)
             comps = self._psum(comps)
             return comps[0], comps
 
@@ -429,12 +549,16 @@ class ShardedEngine:
         if use_fast_nb:
             # nonbonded term: directed-pair enumeration gives complete
             # row-local forces on residents — no ghost-force copy-back
-            ctx = reax.nb_ctx(pos_rel, q_ext_new, self.Hg, types_ext, img,
-                              nbrs, gid_ext, amask, self.ffd)
-            evdw, eclmb, echarge, f_nb, w_nb = \
-                reax.nonbond_tbl_energy_forces(
-                    ctx, q_ext_new, types_ext, amask, self.ffd,
-                    with_virial=True, img=img)
+            if self.closed_form:
+                evdw, eclmb, echarge, f_nb, w_nb = \
+                    reax.nonbond_cf_energy_forces(
+                        ctx, q_ext_new, tex, amask, self.ffd,
+                        with_virial=True, img=img)
+            else:
+                evdw, eclmb, echarge, f_nb, w_nb = \
+                    reax.nonbond_tbl_energy_forces(
+                        ctx, q_ext_new, tex, amask, self.ffd,
+                        with_virial=True, pre=rows_pre, img=img)
             comps = (comps.at[11].set(self._psum(evdw))
                      .at[12].set(self._psum(eclmb))
                      .at[13].set(self._psum(echarge)))
@@ -472,18 +596,30 @@ class ShardedEngine:
             w = w + self._psum(jnp.einsum("ia,ib->ab", f_extra, pos_abs))
 
         f = jnp.where(s.valid[:, None], f, 0.0)
-        halo_max = plan.cnt_send.max()
-        return q_new, qsfp, qsfv, spos_new, f, comps, w, nq, halo_max
+        return q_new, qsfp, qsfv, spos_new, f, comps, w, nq
 
     # ------------------------------------------------------------------
-    def _build_step(self):
+    def _build_programs(self):
         cfg = self.cfg
         dt = self.dt
         mesh = self.mesh
         specP = P(("x", "y", "z"))
+        sspec = ShardedState(*(specP,) * NFIELDS)
+
+        # shapes of the rebuild products (for shard_map out_specs); built
+        # by evaluating the block shape on abstract inputs is overkill —
+        # every leaf simply shards along its leading axis
+        def rebuild_fn(s: ShardedState):
+            s, _, tex, gex, plan, nbrs, lists, diag = self._rebuild_block(s)
+            return s, tex, gex, plan, nbrs, lists, diag
+
+        self._rebuild = jax.jit(jax.shard_map(
+            rebuild_fn, mesh=mesh, in_specs=(sspec,),
+            out_specs=self._rb_specs()))
 
         def make(do_qeq: bool):
-            def step_block(s: ShardedState, f, do_scale):
+            def step_block(s: ShardedState, f, tex, gex, plan, nbrs, lists,
+                           frac_ref, do_scale):
                 s = self._thermostat(s, do_scale)
                 w = s.valid
                 v = s.vel + self.dthm[s.types][:, None] * f
@@ -494,14 +630,14 @@ class ShardedEngine:
                     # the field pumps net momentum into the charged system;
                     # correct it every step (ref: main.F90:70-71)
                     v = self._zero_momentum(s, v)
-                # drift in fractional space + global PBC wrap
+                # drift in fractional space; wrap/migration happen at
+                # rebuilds so the saved plan stays index-consistent
                 frac = s.frac + (v @ self.Hi.T) * dt
-                frac = jnp.where(w[:, None], frac % 1.0, 0.0)
+                frac = jnp.where(w[:, None], frac, 0.0)
                 s = s._replace(frac=frac, vel=v, qsfp=qsfp, qsfv=qsfv)
-                s, mig_max = self._migrate(s)
 
-                out = self._compute(s, do_qeq)
-                q, qsfp, qsfv, spos, f2, comps, wvir, nq, halo_max = out
+                out = self._compute(s, tex, gex, plan, nbrs, lists, do_qeq)
+                q, qsfp, qsfv, spos, f2, comps, wvir, nq = out
                 # per-step stress: kinetic m v_a v_b with the half-kicked
                 # velocity + potential virial (ref: main.F90:86-94 +
                 # pot.F90:65-72); components (xx,yy,zz,yz,zx,xy)
@@ -519,49 +655,75 @@ class ShardedEngine:
                 ke = self._psum(jnp.sum(
                     jnp.where(s.valid, self.hmas[s.types]
                               * jnp.sum(v * v, axis=1), 0.0)))
-                # overflow/conservation diagnostics, surfaced to the host
-                # (the reference aborts on overflow, comm.F90:467-472;
-                # atom-count conservation: main.F90:402-407 analog)
-                diag = jnp.stack([
-                    self._psum(s.valid.sum(dtype=jnp.int32)),
-                    jax.lax.pmax(mig_max, ("x", "y", "z")),
-                    jax.lax.pmax(halo_max, ("x", "y", "z"))])
-                return s, f2, comps, nq, ke, dastr, diag
+                # atom-count conservation (ref: main.F90:402-407 analog)
+                diag = self._psum(s.valid.sum(dtype=jnp.int32))[None]
+                # Verlet-drift monitor: max displacement since the rebuild
+                # bounds the validity of the skinned lists and of the halo
+                # plan's ghost selection
+                dr = (s.frac - frac_ref) @ self.Hg.T
+                dr2 = jnp.sum(dr * dr, axis=1)
+                maxdr2 = jax.lax.pmax(
+                    jnp.max(jnp.where(s.valid, dr2, 0.0)), ("x", "y", "z"))
+                return s, f2, comps, nq, ke, dastr, diag, maxdr2
 
+            lspec = _tree_specP(self._lists_struct())
             smap = jax.shard_map(
                 step_block, mesh=mesh,
-                in_specs=(ShardedState(*(specP,) * NFIELDS), specP, P()),
-                out_specs=(ShardedState(*(specP,) * NFIELDS), specP, P(),
-                           P(), P(), P(), P()))
+                in_specs=(sspec, specP, specP, specP,
+                          _tree_specP(halo.HaloPlan(0, 0, 0, 0)),
+                          _tree_specP(neighbors.Neighbors(0, 0, 0, 0)),
+                          lspec, specP, P()),
+                out_specs=(sspec, specP, P(), P(), P(), P(), P(), P()))
             return jax.jit(smap)
 
         self._step_qeq = make(True)
         self._step_noqeq = make(False) if cfg.qstep > 1 else self._step_qeq
-        return self._step_qeq
 
-    def prepare(self):
-        """Initial QEq + FORCE (ref: main.F90:27-32) via the sharded path."""
-        def prep_block(s: ShardedState):
-            out = self._compute(s, True, prep=True)
-            q, qsfp, qsfv, spos, f, comps, _w, nq, _halo = out
+        def prep_block(s: ShardedState, tex, gex, plan, nbrs, lists):
+            out = self._compute(s, tex, gex, plan, nbrs, lists, True,
+                                prep=True)
+            q, qsfp, qsfv, spos, f, comps, _w, nq = out
             return (s._replace(q=q, qsfp=qsfp, qsfv=qsfv, spos=spos),
                     f, comps, nq)
 
-        specP = P(("x", "y", "z"))
-        fn = jax.jit(jax.shard_map(
-            prep_block, mesh=self.mesh,
-            in_specs=(ShardedState(*(specP,) * NFIELDS),),
-            out_specs=(ShardedState(*(specP,) * NFIELDS), specP, P(), P())))
-        self.sstate, self.force, self.comps, self.nqeq = fn(self.sstate)
-        self.step_count = int(self.state0.step)
-        self.ke = jnp.zeros((), self.dtype)
-        self._astr = jnp.zeros((6,), self.dtype)
-        self._astr_steps = 0
-        return self.comps
+        self._prepare = jax.jit(jax.shard_map(
+            prep_block, mesh=mesh,
+            in_specs=(sspec, specP, specP,
+                      _tree_specP(halo.HaloPlan(0, 0, 0, 0)),
+                      _tree_specP(neighbors.Neighbors(0, 0, 0, 0)),
+                      _tree_specP(self._lists_struct())),
+            out_specs=(sspec, specP, P(), P())))
 
-    def _check_diag(self, diag):
-        """Abort on buffer overflow / lost atoms (ref: comm.F90:467-472)."""
-        natoms, mig, hal = (int(x) for x in np.asarray(diag))
+    def _lists_struct(self):
+        """Structural template of the cached-lists pytree (for specs)."""
+        if not self.term_cache:
+            return ()
+        return (reax.AngleList(0, 0, 0, 0, 0, 0, 0, 0),
+                reax.TorsionList(0, 0, 0, 0, 0, 0, 0, 0),
+                reax.HBondList(0, 0, 0, 0, 0, 0))
+
+    def _rb_specs(self):
+        specP = P(("x", "y", "z"))
+        sspec = ShardedState(*(specP,) * NFIELDS)
+        return (sspec, specP, specP,
+                _tree_specP(halo.HaloPlan(0, 0, 0, 0)),
+                _tree_specP(neighbors.Neighbors(0, 0, 0, 0)),
+                _tree_specP(self._lists_struct()), P())
+
+    # ------------------------------------------------------------------
+    def rebuild(self):
+        (self.sstate, self._tex, self._gex, self._plan, self._nbrs,
+         self._tlists, diag) = self._rebuild(self.sstate)
+        self._frac_ref = self.sstate.frac
+        self._steps_since_rebuild = 0
+        self._maxdr2_dev = None
+        self._check_rebuild_diag(diag)
+
+    def _check_rebuild_diag(self, diag):
+        """Abort on buffer/list overflow (ref: comm.F90:467-472,
+        main.F90:402-407) — silent truncation is never acceptable."""
+        d = np.asarray(diag)            # (ndev, 8)
+        mig, hal, cell = d[:, 0].max(), d[:, 1].max(), d[:, 2].max()
         if mig > self.mcap:
             raise RuntimeError(
                 f"migration buffer overflow: {mig} > mcap={self.mcap} "
@@ -570,60 +732,224 @@ class ShardedEngine:
             raise RuntimeError(
                 f"ghost buffer overflow: {hal} > bcap={self.bcap} "
                 "(the reference aborts too, comm.F90:467-472)")
-        if natoms != self.state0.n:
+        if cell > self.grid.ccap:
             raise RuntimeError(
-                f"atom count changed: {natoms} != {self.state0.n}")
+                f"cell-list overflow: {cell} > ccap={self.grid.ccap}")
+        if d[:, 3].max() > self.kb or d[:, 4].max() > self.knb:
+            raise RuntimeError(
+                f"neighbor-list overflow: bonded {d[:, 3].max()}/{self.kb} "
+                f"nonbonded {d[:, 4].max()}/{self.knb}")
+        if self.term_cache:
+            caps = (self.caps["ang"], self.caps["tor"], self.caps["hbf"])
+            got = (d[:, 5].max(), d[:, 6].max(), d[:, 7].max())
+            if any(g > c for g, c in zip(got, caps)):
+                raise RuntimeError(
+                    f"interaction-list overflow: angles {got[0]}/{caps[0]} "
+                    f"torsions {got[1]}/{caps[1]} hbonds {got[2]}/{caps[2]}"
+                    " — raise caps (ref aborts too, main.F90:402-407)")
+
+    def prepare(self):
+        """Initial QEq + FORCE (ref: main.F90:27-32) via the sharded path."""
+        self.rebuild()
+        (self.sstate, self.force, self.comps, self.nqeq) = self._prepare(
+            self.sstate, self._tex, self._gex, self._plan, self._nbrs,
+            self._tlists)
+        self.step_count = int(self.state0.step)
+        self.ke = jnp.zeros((), self.dtype)
+        self._astr = jnp.zeros((6,), self.dtype)
+        self._astr_steps = 0
+        return self.comps
 
     def run(self, nsteps, step0: int = None, log=None, writer=None):
         if not hasattr(self, "force"):
+            if self.cfg.mdmode in (0, 6):
+                self.init_velocity()
             self.prepare()
             if log:
                 log(self.printe_line())
+        if not hasattr(self, "_plan"):
+            # caller seeded `force` directly (e.g. a zero-force smoke run)
+            self.rebuild()
         if not hasattr(self, "_astr"):
             self._astr = jnp.zeros((6,), self.dtype)
             self._astr_steps = 0
         cfg = self.cfg
         if step0 is None:
             step0 = getattr(self, "step_count", 0)
-        prev_diag = None
+        prev_nat = None
         for k in range(nsteps):
             stepno = step0 + k
+            if cfg.mdmode in (0, 6) and stepno % cfg.sstep == 0 and k > 0:
+                # periodic Maxwell-Boltzmann redraw (ref: main.F90:53-54)
+                self.init_velocity(seed=stepno)
+            # drift check lags one step and is polled on a cadence (each
+            # poll is a device->host read); the 0.8x trigger absorbs both
+            prev_dr2 = getattr(self, "_maxdr2_dev", None)
+            poll = (prev_dr2 is not None
+                    and self._steps_since_rebuild >= self.drift_check_from
+                    and self._steps_since_rebuild % self.drift_check_every
+                    == 0)
+            drifted = (poll
+                       and float(prev_dr2) ** 0.5 > 0.8 * self.drift_trigger)
+            if self._steps_since_rebuild >= self.rebuild_every or drifted:
+                self.rebuild()
             fn = (self._step_qeq if stepno % cfg.qstep == 0
                   else self._step_noqeq)
             do_scale = jnp.asarray(stepno % cfg.sstep == 0)
-            out = fn(self.sstate, self.force, do_scale)
+            out = fn(self.sstate, self.force, self._tex, self._gex,
+                     self._plan, self._nbrs, self._tlists, self._frac_ref,
+                     do_scale)
             (self.sstate, self.force, self.comps, self.nqeq, self.ke,
-             dastr, diag) = out
+             dastr, nat, self._maxdr2_dev) = out
             self._astr = self._astr + dastr
             self._astr_steps += 1
+            self._steps_since_rebuild += 1
             self.step_count = stepno + 1
-            emit = ((log and self.step_count % cfg.pstep == 0)
-                    or (writer is not None
-                        and self.step_count % cfg.fstep == 0))
-            if emit:
-                # before emitting output, validate the *current* step's
-                # diagnostics (accepting the pipeline stall) so no frame or
-                # PRINTE line is ever written from a corrupted state
-                self._check_diag(diag)
-                prev_diag = None
-            elif prev_diag is not None:
-                # otherwise check one step behind: no pipeline stall
-                self._check_diag(prev_diag)
-                prev_diag = diag
+            emit_log = log and self.step_count % cfg.pstep == 0
+            emit_frame = writer is not None and \
+                self.step_count % cfg.fstep == 0
+            if emit_log or emit_frame:
+                natoms = int(np.asarray(nat)[0])
+                if natoms != self.state0.n:
+                    raise RuntimeError(
+                        f"atom count changed: {natoms} != {self.state0.n}")
+                prev_nat = None
             else:
-                prev_diag = diag
-            if log and self.step_count % cfg.pstep == 0:
+                if prev_nat is not None:
+                    natoms = int(np.asarray(prev_nat)[0])
+                    if natoms != self.state0.n:
+                        raise RuntimeError(
+                            f"atom count changed: {natoms} != "
+                            f"{self.state0.n}")
+                prev_nat = nat
+            if emit_log:
                 log(self.printe_line())
-            if writer is not None and self.step_count % cfg.fstep == 0:
+            if emit_frame:
                 writer(self)
         jax.block_until_ready(self.sstate.frac)
-        if prev_diag is not None:
-            self._check_diag(prev_diag)
+        if prev_nat is not None:
+            natoms = int(np.asarray(prev_nat)[0])
+            if natoms != self.state0.n:
+                raise RuntimeError(
+                    f"atom count changed: {natoms} != {self.state0.n}")
         return self.comps
 
     # ------------------------------------------------------------------
-    # Output surface (gather-to-host; the reference writes shared files via
-    # MPI-IO, fileio.F90:5-20 — on a TPU mesh the host gathers instead)
+    # Structural-optimization surface (mdmode 10; ref: cg.F90).  The CG
+    # loop in opt.py drives these through an adapter: `cg_evaluate` is the
+    # sharded EvaluateEnergyWithStep (ref: cg.F90:358-387) and `cg_resync`
+    # migrates the CG direction/gradient vectors with their atoms
+    # (ref: MigrateVec3D cg.F90:292-314).
+    def _build_cg_programs(self):
+        specP = P(("x", "y", "z"))
+        sspec = ShardedState(*(specP,) * NFIELDS)
+
+        def eval_block(s: ShardedState, pos_blk):
+            frac = jnp.where(s.valid[:, None], pos_blk @ self.Hi.T, 0.0)
+            s = s._replace(frac=frac)
+            # fresh plan + lists every evaluation, like the reference's
+            # full FORCE per probe (cg.F90:376-384); no migration — slots
+            # must stay aligned with the caller's direction vectors
+            spec = self.spec
+            plan, frac_ext, valid_ext = halo.build_plan(s.frac, s.valid,
+                                                        spec)
+            tex = halo.apply_plan(plan, s.types, spec)
+            gex = halo.apply_plan(plan, s.gid, spec)
+            mylo = self._local_frame()
+            pos_rel = (frac_ext - mylo[None, :]) @ self.Hg.T
+            nbrs, _ = neighbors.build_neighbors_cells(
+                pos_rel, valid_ext, tex, self.grid, self.rc2b_ext,
+                self.rctap2_ext, self.kb, self.knb)
+            out = self._compute(s, tex, gex, plan, nbrs, (), True,
+                                prep=(self.cfg.isQEq == 2))
+            q, _qsfp, _qsfv, _spos, f, comps, _w, _nq = out
+            return comps[0], f, q
+
+        self._cg_eval = jax.jit(jax.shard_map(
+            eval_block, mesh=self.mesh, in_specs=(sspec, specP),
+            out_specs=(P(), specP, specP)))
+
+        def resync_block(s: ShardedState, pos_blk, g, p):
+            frac = jnp.where(s.valid[:, None], (pos_blk @ self.Hi.T) % 1.0,
+                             0.0)
+            s = s._replace(frac=frac)
+            s, ex, mig_max = self._migrate(s, {"g": g, "p": p})
+            pos2 = jnp.where(s.valid[:, None], s.frac @ self.Hg.T, 0.0)
+            return (s, pos2, ex["g"], ex["p"],
+                    jax.lax.pmax(mig_max, ("x", "y", "z")))
+
+        self._cg_resync = jax.jit(jax.shard_map(
+            resync_block, mesh=self.mesh,
+            in_specs=(sspec, specP, specP, specP),
+            out_specs=(sspec, specP, specP, specP, P())))
+
+    def cg_positions(self):
+        """Block-layout absolute positions (invalid slots zero)."""
+        return jnp.where(self.sstate.valid[:, None],
+                         self.sstate.frac @ self.Hg.T, 0.0)
+
+    def cg_evaluate(self, pos_blk):
+        """(total PE, forces, charges) at the given block positions."""
+        if not hasattr(self, "_cg_eval"):
+            self._build_cg_programs()
+        return self._cg_eval(self.sstate, pos_blk)
+
+    def cg_resync(self, pos_blk, g, p):
+        """Commit positions, migrate atoms + CG vectors across the mesh."""
+        if not hasattr(self, "_cg_eval"):
+            self._build_cg_programs()
+        self.sstate, pos2, g2, p2, mig = self._cg_resync(
+            self.sstate, pos_blk, g, p)
+        if int(mig) > self.mcap:
+            raise RuntimeError(
+                f"migration buffer overflow: {int(mig)} > mcap={self.mcap}")
+        return pos2, g2, p2
+
+    def cg_commit(self, pos_blk, q_blk):
+        """Write optimized positions/charges back into the engine state."""
+        frac = jnp.where(self.sstate.valid[:, None],
+                         (pos_blk @ self.Hi.T) % 1.0, 0.0)
+        self.sstate = self.sstate._replace(
+            frac=frac, q=jnp.where(self.sstate.valid, q_blk, 0.0))
+
+    # ------------------------------------------------------------------
+    def init_velocity(self, seed=0):
+        """Gaussian velocities scaled to treq with zero net momentum
+        (ref: INITVELOCITY init.F90:292-360).  gid-deterministic: the draw
+        is made in global-atom-id order with the same RNG as
+        md.Engine.init_velocity, so sharded and single-device trajectories
+        match bit-for-bit in f64."""
+        n = self.state0.n
+        rng = np.random.default_rng(seed)
+        v = rng.normal(size=(n, 3))
+        types_g = np.zeros(n, np.int32)
+        gid_h, types_h, valid_h = (np.asarray(self._gather_field(x))
+                                   for x in (self.sstate.gid,
+                                             self.sstate.types,
+                                             self.sstate.valid))
+        types_g[gid_h[valid_h]] = types_h[valid_h]
+        m = np.asarray(2.0 * self.hmas)[types_g]
+        v -= (m[:, None] * v).sum(0) / m.sum()
+        ke = 0.5 * (m * (v * v).sum(1)).sum() / n
+        v *= np.sqrt(1.5 * (self.cfg.treq / units.UTEMP0) / ke)
+        vblk = np.zeros((self.ndev * self.ncap, 3))
+        vblk[valid_h] = v[gid_h[valid_h]]
+        self.sstate = self.sstate._replace(
+            vel=self._commit(vblk.astype(self.dtype)))
+
+    def _gather_field(self, arr):
+        """Full copy of one sharded field on every host (used only for the
+        rare velocity redraws and gathered output)."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            return multihost_utils.process_allgather(arr, tiled=True)
+        return jax.device_get(arr)
+
+    # ------------------------------------------------------------------
+    # Output surface.  `to_state` gathers to the host (the fallback path);
+    # `write_frame_slab` in io/slab.py writes per-process slabs without
+    # gathering positions (the analog of the reference's MPI-IO offsets,
+    # fileio.F90:81-95).
     def to_state(self) -> State:
         """Gather the sharded state into a host-ordered State (sorted by
         global atom id), e.g. for trajectory/checkpoint output.  On a
@@ -631,16 +957,12 @@ class ShardedEngine:
         (the analog of the reference's MPI-IO shared file each rank can
         read back, fileio.F90:444-555)."""
         from ..system import make_state
-        if jax.process_count() > 1:
-            from jax.experimental import multihost_utils
-            ss = jax.tree.map(np.asarray,
-                              multihost_utils.process_allgather(
-                                  self.sstate, tiled=True))
-        else:
-            ss = jax.device_get(self.sstate)
+        ss = jax.tree.map(np.asarray,
+                          jax.tree.map(self._gather_field, self.sstate))
         sel = np.where(ss.valid)[0]
         order = sel[np.argsort(ss.gid[sel], kind="stable")]
-        pos = (ss.frac[order] @ np.asarray(self.Hg).T)
+        frac = ss.frac[order] % 1.0
+        pos = frac @ np.asarray(self.Hg).T
         return make_state(
             pos=pos, types=ss.types[order], H=np.asarray(self.Hg),
             vel=ss.vel[order], q=ss.q[order], qsfp=ss.qsfp[order],
@@ -699,6 +1021,20 @@ class ShardedEngine:
             traj.write_bnd(base_path + ".bnd", st, g, b, c)
         if cfg.is_binary:
             refbin.write_rxff_bin(base_path + ".bin", st)
+
+    def write_frame_slab(self, base_path: str):
+        """Scalable output: every process writes ONLY its own residents at
+        precomputed offsets (the MPI-IO analog, ref: fileio.F90:81-95);
+        no position allgather.  Formats: .xyz (gid-indexed fixed-width
+        records, byte-identical to the serial writer) and the reference
+        rxff.bin (per-device slabs, restartable by the reference at the
+        mesh's vprocs layout)."""
+        from ..io import slab
+        cfg = self.cfg
+        if cfg.is_xyz:
+            slab.write_xyz_slab(base_path + ".xyz", self)
+        if cfg.is_binary:
+            slab.write_bin_slab(base_path + ".bin", self)
 
     @property
     def n_atoms(self):

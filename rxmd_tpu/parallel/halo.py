@@ -79,14 +79,22 @@ def build_plan(frac, valid, spec: HaloSpec):
         known = ncap + p * bcap
         x = frac_ext[:known, ax]
         kvalid = valid_ext[:known]
-        # two-sided bounds so previously received ghosts (outside [lo,hi) on
-        # this axis) are not re-sent (ref: inBuffer comm.F90:551-576)
+        # ghosts keep two-sided bounds so previously received copies
+        # (outside [lo,hi) on this axis) are not re-sent (ref: inBuffer
+        # comm.F90:551-576); RESIDENT rows (index < ncap) use the one-sided
+        # bound so atoms that drifted slightly past the subdomain boundary
+        # since the last migration are still exchanged (between rebuilds,
+        # and during optimizer line-search probes, residents may sit just
+        # outside [lo,hi) — the Verlet-skin margin bounds the drift)
+        res_row = jax.lax.iota(jnp.int32, known) < ncap
         if d > 0:
-            mask = kvalid & (x >= hi - spec.skin_frac[ax]) & (x < hi)
+            near = kvalid & (x >= hi - spec.skin_frac[ax])
+            mask = near & (res_row | (x < hi))
             wrap = (my == n - 1)
             shift_val = jnp.where(wrap, -1.0, 0.0).astype(dtype)
         else:
-            mask = kvalid & (x < lo + spec.skin_frac[ax]) & (x >= lo)
+            near = kvalid & (x < lo + spec.skin_frac[ax])
+            mask = near & (res_row | (x >= lo))
             wrap = (my == 0)
             shift_val = jnp.where(wrap, 1.0, 0.0).astype(dtype)
         keff = min(bcap, mask.shape[0])

@@ -50,7 +50,8 @@ def solve(pos, q, qsfp, H, types, img: ImageTable, nbrs: Neighbors,
           tol: float = 1e-7, lex_fqs: float = 1.0, allreduce=None,
           lmin_f32: bool = False, refresh=None,
           resident_ext=None, closed_form=None, pre=None,
-          dense_max: int = 8192, pair_ops=None) -> QEqResult:
+          dense_max: int = 8192, pair_ops=None,
+          direct: bool = False) -> QEqResult:
     """Solve for charges.  isqeq=1: full CG (ref: qeq.F90:39-48);
     isqeq=2: extended-Lagrangian warm start, one iteration
     (ref: qeq.F90:51-57).
@@ -83,6 +84,33 @@ def solve(pos, q, qsfp, H, types, img: ImageTable, nbrs: Neighbors,
     if amask is None:
         amask = jnp.ones((n,), dtype=bool)
     w = amask.astype(dtype)
+
+    if direct and local_only:
+        # dense minimum-image hessian (no neighbor list, no gathers): the
+        # matrix build is pure VPU + one-hot MXU work and every CG matvec
+        # is an (n,n)@(n,2) MXU matmul streaming at HBM speed (the TPU-
+        # native answer to the reference's gather-bound get_hsh,
+        # qeq.F90:271-318).  The engine enables this for orthogonal boxes
+        # with min(L) > 2*rctap and n <= dense_direct_max.
+        from .reax import qeq_dense_direct
+        Hd, Hw = qeq_dense_direct(pos, H, types, ffd)
+        eta = jnp.where(amask, ffd.eta[types], 0.0)
+        chi = jnp.where(amask, ffd.chi[types], 0.0)
+
+        def matvec2(X):
+            return eta[:, None] * X + Hd @ X
+
+        def matvec2_and_est(Hv, qcur):
+            per_atom = (chi * qcur + 0.5 * eta * qcur * qcur
+                        + (Hw @ qcur) * qcur)
+            return matvec2(Hv), jnp.sum(jnp.where(amask, per_atom, 0.0))
+
+        def gradient(X):
+            rhs = jnp.stack([-chi, -w], axis=1)
+            return jnp.where(amask[:, None], rhs - matvec2(X), 0.0)
+
+        return _cg(q, qsfp, amask, dtype, isqeq, nmax, tol, lex_fqs,
+                   lmin_f32, allreduce, matvec2_and_est, gradient)
 
     if pair_ops is not None:
         # Pallas cell-column sweep (ops/pairsweep): the hessian is never
@@ -265,7 +293,12 @@ def _cg(q, qsfp, amask, dtype, isqeq, nmax, tol, lex_fqs, lmin_f32,
         st = allreduce(jnp.sum(X1, axis=0))            # (2,): Σqs, Σqt
         mu = st[0] / st[1]
         q1 = jnp.where(amask, X1[:, 0] - mu * X1[:, 1], 0.0)
-        G1 = gradient(X1)
+        # CG residual recurrence: gradient(X1) = gradient(X) - lmin*A·Hv,
+        # and A·Hv = HH was just computed — this saves the second full
+        # matvec sweep per iteration that the reference spends in an
+        # explicit get_gradient call (ref: qeq.F90:157); identical values
+        # in exact arithmetic, standard CG practice in floating point
+        G1 = jnp.where(amask[:, None], G - lmin[None, :] * HH, 0.0)
         gnew1 = allreduce(jnp.sum(G1 * G1, axis=0))
         H1 = G1 + (gnew1 / gnew_safe(gnew))[None, :] * Hv
 

@@ -448,6 +448,98 @@ def cf_qeq_kernel(dr2, prm, ffd: FFDev, mask):
     return jnp.where(ok, tap * units.CCLMB0_QEQ * dr3gam, 0.0)
 
 
+# ----------------------------------------------------------------------------
+# Dense minimum-image nonbonded kernels (TPU fast path for moderate N).
+#
+# The ELL neighbor-list formulation is gather-bound on TPU: XLA's dynamic
+# row gathers run at ~5-30 GB/s against ~800 GB/s HBM (measured: the exL
+# QEq solve spends 62 of a 105 ms step in 3 such gathers at N=4536).  For
+# moderate system sizes an O(N^2) dense evaluation with minimum-image
+# wrapping has NO gathers at all: per-pair type parameters come from tiny
+# one-hot MXU matmuls, the pair kernel is pure VPU work, and the QEq CG
+# matvecs become (n,n)@(n,2) MXU matmuls that stream at HBM speed.
+# Valid when the box is orthogonal and min(L) > 2*rctap (every pair has at
+# most one image within the cutoff); selected by the engine for
+# n <= cfg.dense_direct_max.  Physics is identical to the closed-form ELL
+# path (same kernels, same cutoffs); only the summation order differs.
+# ----------------------------------------------------------------------------
+
+def _type_prm_dense(types, P):
+    """(n, n) per-pair parameter matrix  P[t_i, t_j]  via two one-hot MXU
+    contractions (never a 20M-element small-table gather)."""
+    nso = P.shape[0]
+    dtype = P.dtype
+    oh = (types[:, None] == jnp.arange(nso)[None, :]).astype(dtype)  # (n,nso)
+    return (oh @ P) @ oh.T
+
+
+def _min_image_ax(pos, H, ax):
+    """Per-axis raw difference and wrap count (diagonal box)."""
+    La = H[ax, ax]
+    d = pos[:, None, ax] - pos[None, :, ax]
+    s = jnp.round(d / La)
+    return d - s * La, s
+
+
+def qeq_dense_direct(pos, H, types, ffd: FFDev, resident_weight=True):
+    """(H, Hw): the dense (n, n) QEq 'hessian' Tap(r)*14.4/(r^3+gam)^(1/3)
+    (ref kernel: init.F90:487-489, row build qeq.F90:183-268) evaluated
+    directly from minimum-image pair distances, and its Est-weighted copy
+    (weight 1.0 for unwrapped pairs, 0.5 for image pairs —
+    ref: qeq.F90:304-306 semantics, identical to the ELL idxnb<n rule)."""
+    n = pos.shape[0]
+    dx, sx = _min_image_ax(pos, H, 0)
+    dy, sy = _min_image_ax(pos, H, 1)
+    dz, sz = _min_image_ax(pos, H, 2)
+    dr2 = dx * dx + dy * dy + dz * dz
+    unwrapped = (sx == 0) & (sy == 0) & (sz == 0)
+    exists = _type_prm_dense(types, ffd.cf_pair[..., 0]) > 0.5
+    ok = exists & (dr2 < ffd.rctap2) & ~jnp.eye(n, dtype=bool)
+    dr2s = _safe(dr2, ok)
+    dr1 = jnp.sqrt(dr2s)
+    tap, _ = _taper_pair(dr2s, dr1, ffd.ctap)
+    gam = _safe(_type_prm_dense(types, ffd.cf_pair[..., 5]), ok)
+    hm = jnp.where(ok, tap * units.CCLMB0_QEQ
+                   * (dr1 * dr2s + gam) ** (-1.0 / 3.0), 0.0)
+    w = jnp.where(unwrapped, 1.0, 0.5) if resident_weight else 1.0
+    return hm, hm * w
+
+
+def nonbond_dense(pos, q, H, types, amask, ffd: FFDev, with_virial=False):
+    """Dense minimum-image closed-form vdW + Coulomb: energies, row-local
+    forces and pair virial with zero gathers (the dense analog of
+    `nonbond_cf_energy_forces`; force expression ref: pot.F90:736-761)."""
+    n = pos.shape[0]
+    dx, sx = _min_image_ax(pos, H, 0)
+    dy, sy = _min_image_ax(pos, H, 1)
+    dz, sz = _min_image_ax(pos, H, 2)
+    dr2 = dx * dx + dy * dy + dz * dz
+    mask = (dr2 <= ffd.rctap2) & ~jnp.eye(n, dtype=bool) \
+        & amask[:, None] & amask[None, :]
+    prm = jnp.stack([_type_prm_dense(types, ffd.cf_pair[..., k])
+                     for k in range(ffd.cf_pair.shape[-1])], axis=-1)
+    evdw_p, eclmb1, devdw, declmb1, ok = cf_nonbond(dr2, prm, ffd, mask)
+    m = mask & ok
+    qq = q[:, None] * q[None, :]
+    evdw = 0.5 * jnp.sum(jnp.where(m, evdw_p, 0.0))
+    eclmb = 0.5 * jnp.sum(jnp.where(m, eclmb1 * qq, 0.0))
+    ffac = jnp.where(m, devdw + declmb1 * qq, 0.0)
+    f = -jnp.stack([jnp.sum(ffac * dx, axis=1),
+                    jnp.sum(ffac * dy, axis=1),
+                    jnp.sum(ffac * dz, axis=1)], axis=-1)
+    echarge = jnp.sum(jnp.where(
+        amask,
+        units.CECHRGE * (ffd.chi[types] * q + 0.5 * ffd.eta[types] * q * q),
+        0.0))
+    if with_virial:
+        ds = (dx, dy, dz)
+        w = -0.5 * jnp.asarray(
+            [[jnp.sum(ffac * ds[a] * ds[b]) for b in range(3)]
+             for a in range(3)])
+        return evdw, eclmb, echarge, f, w
+    return evdw, eclmb, echarge, f
+
+
 def pair_bond_type(ctx: NbCtx, types, ffd: FFDev):
     """Per-pair bond-type index via one-hot contraction (exact: one-hot x
     integer values), avoiding a 2.6M-element (nso,nso) table gather."""
@@ -1214,12 +1306,18 @@ def _hbond_mask(pos, H, types, img, nbrs, bo: BondOrder, amask, ffd: FFDev,
     rik = jax.lax.stop_gradient(pos)[:, None, :] - pose[idxnb]
     rik2 = jnp.sum(rik * rik, axis=-1)
     rchb2_m = (float(np.sqrt(units.RCHB2)) + margin) ** 2
-    hbty = ffd.inxn3hb[types[:, None, None], th[:, :, None],
-                       types[img.owner_of(idxnb)][:, None, :]]
-    m = (hvalid[:, :, None] & nbrs.masknb[:, None, :] & (hbty >= 0)
+    # acceptor-type existence via a one-hot MXU contraction; the full
+    # (n, kh, knb) inxn3hb gather is ~10x slower on TPU (cf. e_hbond)
+    tk = types[img.owner_of(idxnb)]                        # (n, knb)
+    nso = ffd.hbok.shape[0]
+    tkoh = (tk[..., None] == jnp.arange(nso)).astype(pos.dtype)
+    hbrow = ffd.hbok[types[:, None], th]                   # (n, kh, nso)
+    ok_t = jnp.einsum("nkc,nhc->nhk", tkoh, hbrow,
+                      preferred_element_type=pos.dtype) > 0.5
+    m = (hvalid[:, :, None] & nbrs.masknb[:, None, :] & ok_t
          & (idx_h[:, :, None] != idxnb[:, None, :])
          & (rik2 < rchb2_m)[:, None, :])
-    return m, hslot, hbty
+    return m, hslot, tk
 
 
 def build_hbond_list(pos, H, types, img, nbrs, bo: BondOrder, amask,
@@ -1231,8 +1329,8 @@ def build_hbond_list(pos, H, types, img, nbrs, bo: BondOrder, amask,
         z = jnp.zeros((cap,), jnp.int32)
         return HBondList(i=z, a=z, c=z, prm=jnp.zeros((cap, 4), pos.dtype),
                          valid=jnp.zeros((cap,), bool), cnt=jnp.int32(0))
-    m, hslot, hbty = _hbond_mask(pos, H, types, img, nbrs, bo, amask, ffd,
-                                 kh, slack, margin)
+    m, hslot, tk = _hbond_mask(pos, H, types, img, nbrs, bo, amask, ffd,
+                               kh, slack, margin)
     kh = hslot.shape[1]
     knb = nbrs.idxnb.shape[1]
     fidx, valid, cnt = _flat_compact(m.reshape(-1), cap)
@@ -1241,7 +1339,11 @@ def build_hbond_list(pos, H, types, img, nbrs, bo: BondOrder, amask,
     a_h = s // knb
     c = (s % knb).astype(jnp.int32)
     a = hslot[i, a_h].astype(jnp.int32)
-    prm = ffd.hbprm[jnp.where(valid, hbty[i, a_h, c], 0)]
+    # hbond type looked up only for the compacted entries (the dense
+    # (n, kh, knb) gather is the expensive form; cf. _hbond_mask)
+    th_c = types[img.owner_of(jnp.where(valid, nbrs.idxb[i, a], 0))]
+    hbty_c = ffd.inxn3hb[types[i], th_c, tk[i, c]]
+    prm = ffd.hbprm[jnp.where(valid & (hbty_c >= 0), hbty_c, 0)]
     return HBondList(i=i.astype(jnp.int32), a=a, c=c, prm=prm,
                      valid=valid, cnt=cnt)
 

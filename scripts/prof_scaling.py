@@ -10,7 +10,7 @@ from rxmd_tpu.config import RunConfig
 
 dtype = jnp.float32
 ff = ffield.parse_ffield("/root/reference/ffield")
-mcs = os.environ.get("MCS", "3,3,3;4,4,4;5,5,5;6,6,6").split(";")
+mcs = os.environ.get("MCS", "2,2,2;3,3,3;4,4,3;4,4,4;5,5,4;6,5,5;6,6,6").split(";")
 for mcstr in mcs:
     mc = tuple(int(x) for x in mcstr.split(","))
     st = system.from_cellfile("/root/reference/conf/init.rdx/input.xyz",
@@ -20,10 +20,10 @@ for mcstr in mcs:
     t0 = time.time()
     eng = md.Engine(ff, st, cfg, dtype=dtype)
     eng.prepare()
-    eng.run(2, log=None)
+    eng.run(2 + eng.block_steps, log=None)
     t_setup = time.time() - t0
     t0 = time.time()
-    nst = 20
+    nst = int(os.environ.get("NST", "40"))
     eng.run(nst, log=None)
     w = time.time() - t0
     print(f"mc={mc} N={st.n:7d}: {w/nst*1000:8.1f} ms/step "

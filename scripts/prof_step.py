@@ -45,7 +45,7 @@ def timeit(name, fn, reps=10):
 
 # --- full step ---
 step = eng._step
-timeit("FULL STEP", lambda: step(s, eng.force, nbrs, lists, eng._pos_ref, eng._astr))
+timeit("FULL STEP", lambda: step(s, eng.force, nbrs, lists, eng._slotmap, eng._pos_ref, eng._astr))
 
 # --- rebuild ---
 timeit("rebuild (nbrs+lists)", lambda: eng._rebuild(s), reps=3)
@@ -119,6 +119,16 @@ nbf = jax.jit(lambda p, q: reax.nonbond_tbl_energy_forces(
     reax.nb_ctx(p, q, s.H, s.types, img, nbrs, s.gid, amask, ffd),
     q, s.types, amask, ffd))
 timeit("nonbond tbl e+f (incl ctx)", lambda: nbf(s.pos, s.q))
+
+qeqf1 = jax.jit(lambda p, q, qs: qeq.solve(
+    p, q, qs, s.H, s.types, img, nbrs, ffd, isqeq=1, nmax=cfg.NMAXQEq,
+    tol=cfg.QEq_tol, closed_form=eng.closed_form))
+timeit("QEq full CG (dense)", lambda: qeqf1(s.pos, s.q, s.qsfp), reps=3)
+
+nbcf = jax.jit(lambda p, q: reax.nonbond_cf_energy_forces(
+    reax.nb_ctx(p, None, s.H, s.types, img, nbrs, s.gid, amask, ffd),
+    q, s.types, amask, ffd, with_virial=True, img=img))
+timeit("nonbond cf e+f+w (incl ctx)", lambda: nbcf(s.pos, s.q))
 
 hl = lists[2]
 def _ehl(p):

@@ -104,3 +104,44 @@ def test_timers_and_run_profile(tmp_path):
     body = prof.read_text().splitlines()
     assert body[0].startswith("# step")
     assert len(body) >= 2  # at least steps 0 and 2 recorded
+
+
+@pytest.mark.slow
+def test_dense_direct_matches_ell_path():
+    """The dense minimum-image fast path (reax.qeq_dense_direct +
+    reax.nonbond_dense: no gathers, MXU matvecs) reproduces the gather-
+    based ELL closed-form path: same charges, energies and forces after
+    two steps on a box with min(L) > 2*rctap."""
+    import jax.numpy as jnp
+    import dataclasses
+    ff = ffield.parse_ffield(FF)
+    st = system.from_cellfile(CELL, ff.name_to_type, mc=(2, 2, 2),
+                              dtype=jnp.float32)
+
+    def run(dd_max):
+        cfg = RunConfig(mdmode=1, dt_fs=0.25, isQEq=1, QEq_tol=1e-7,
+                        qstep=1, pstep=1000, sstep=10000, dtype="float32",
+                        dense_direct_max=dd_max)
+        eng = md.Engine(ff, st, cfg, dtype=jnp.float32)
+        eng.prepare()
+        eng.run(2, log=None)
+        return eng
+
+    e_ell = run(0)
+    e_dd = run(8192)
+    assert e_ell.dense_direct is False and e_dd.dense_direct is True
+    c1 = np.asarray(e_ell.comps)
+    c2 = np.asarray(e_dd.comps)
+    n = st.n
+    # identical physics, different summation order: f32 roundoff only
+    assert np.abs(c1 - c2).max() / n < 2e-4, (c1 - c2) / n
+    # identical kernels (f64 agreement ~1e-12, see reax.qeq_dense_direct
+    # check); f32 CG amplifies matvec reassociation to ~1e-3 in q
+    assert np.abs(np.asarray(e_ell.state.q)
+                  - np.asarray(e_dd.state.q)).max() < 3e-3
+    f1 = np.asarray(e_ell.force)
+    f2 = np.asarray(e_dd.force)
+    assert np.abs(f1 - f2).max() < 5e-2, np.abs(f1 - f2).max()
+    p1 = np.asarray(e_ell.state.pos)
+    p2 = np.asarray(e_dd.state.pos)
+    assert np.abs(p1 - p2).max() < 1e-4

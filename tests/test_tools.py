@@ -77,3 +77,29 @@ def test_geninit_roundtrip(tmp_path):
     st, meta = refbin.read_rxff_bin(out + "/rxff.bin")
     assert st.n == 336
     assert abs(meta["cell"][0] - 2 * 13.18) < 1e-6
+
+
+def test_plot_tool(tmp_path):
+    """Plot + csv tooling (ref: util/stat/plot.py, util/script/csv.py):
+    one command turns stat output into the standard figures."""
+    from rxmd_tpu.tools import plot
+    ff = ffield.parse_ffield("/root/reference/ffield")
+    st = system.from_cellfile("/root/reference/conf/init.rdx/input.xyz",
+                              ff.name_to_type)
+    box = np.array([13.18, 11.57, 10.71])
+    pa = stat.PairAnalysis(ff.atom_names[:4], rcut=5.0, dr=0.1)
+    pa.add_frame(np.asarray(st.pos), np.asarray(st.types), box)
+    d = str(tmp_path)
+    pa.save(gr_path=d + "/gr.dat", sq_path=d + "/sq.dat")
+    types = np.asarray(st.types)
+    rcuts = {(a, b): 1.8 for a in range(4) for b in range(4)}
+    hists = stat.bond_angle_distribution(np.asarray(st.pos), types, box,
+                                         rcuts)
+    plot.write_ba_dat(hists, ff.atom_names, d + "/ba-bonds.dat")
+    outs = plot.gr_plot(d) + plot.sq_plot(d) + plot.ba_plot(d)
+    import os
+    assert len(outs) >= 4           # gr, Gnr, snq, ba panels
+    assert all(os.path.getsize(o) > 5000 for o in outs)
+    csv = plot.to_csv(d + "/sq.dat")
+    head = open(csv).readline().strip().split(",")
+    assert head[0] == "wave_number" and head[1] == "Snq"
