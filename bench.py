@@ -51,7 +51,7 @@ def main():
     claim_sec = time.time() - t0
 
     mc = tuple(int(x) for x in os.environ.get("BENCH_MC", "3,3,3").split(","))
-    nsteps = int(os.environ.get("BENCH_STEPS", "20"))
+    nsteps = int(os.environ.get("BENCH_STEPS", "50"))
     dtype = jnp.float32
     ff = ffield.parse_ffield("/root/reference/ffield")
     st = system.from_cellfile("/root/reference/conf/init.rdx/input.xyz",

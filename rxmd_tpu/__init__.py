@@ -17,6 +17,25 @@ _cache = _os.environ.get(
     "RXMD_TPU_CACHE",
     _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
                   _os.pardir, ".jax_cache"))
-_jax.config.update("jax_compilation_cache_dir", _os.path.abspath(_cache))
+
+
+def _arch_tag():
+    """CPU-microarchitecture tag for the cache path: XLA:CPU AOT
+    executables embed machine features and abort (SIGILL) when loaded on
+    a host with different ones — cache entries must never cross hosts."""
+    try:
+        import hashlib
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith("flags"):
+                    return hashlib.md5(line.encode()).hexdigest()[:8]
+    except OSError:
+        pass
+    import platform
+    return platform.machine()
+
+
+_jax.config.update("jax_compilation_cache_dir",
+                   _os.path.join(_os.path.abspath(_cache), _arch_tag()))
 _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

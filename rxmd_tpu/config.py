@@ -106,16 +106,19 @@ class RunConfig:
                                  # remote-tunneled chip) over the block;
                                  # blocks end on print/write/thermostat/
                                  # rebuild boundaries.  1 disables.
-    dense_direct_max: int = 6144
+    dense_direct_max: int = 12288
                                  # dense minimum-image fast path for the
                                  # QEq hessian + nonbond kernels (no
                                  # neighbor gathers; one-hot MXU params,
                                  # (n,n) MXU matvecs).  Used in f32
                                  # closed-form production when the box is
                                  # orthogonal with min(L) > 2*rctap and
-                                 # n <= this cap (O(n^2) memory/compute:
-                                 # the gather-bound ELL path wins again at
-                                 # large n).  0 disables.
+                                 # n <= this cap.  O(n^2) memory: the two
+                                 # (n,n) QEq matrices cost 2*4*n^2 bytes
+                                 # (1.2 GB at the 12288 default); measured
+                                 # on v5e the dense path still beats the
+                                 # gather-bound ELL path at 10.7k atoms
+                                 # (SCALING.md).  0 disables.
     nonbond_closed_form: bool = None
                                  # None (auto): closed-form vdW/Coulomb/QEq
                                  # kernels in float32 production (VPU math,

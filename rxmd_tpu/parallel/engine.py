@@ -617,7 +617,7 @@ class ShardedEngine:
             rebuild_fn, mesh=mesh, in_specs=(sspec,),
             out_specs=self._rb_specs()))
 
-        def make(do_qeq: bool):
+        def make(do_qeq: bool, nsteps: int = 1):
             def step_block(s: ShardedState, f, tex, gex, plan, nbrs, lists,
                            frac_ref, do_scale):
                 s = self._thermostat(s, do_scale)
@@ -666,18 +666,54 @@ class ShardedEngine:
                     jnp.max(jnp.where(s.valid, dr2, 0.0)), ("x", "y", "z"))
                 return s, f2, comps, nq, ke, dastr, diag, maxdr2
 
+            def multi_block(s, f, tex, gex, plan, nbrs, lists, frac_ref,
+                            step0):
+                """nsteps fused into one program (lax.scan): amortizes the
+                per-dispatch round trip like md.Engine's multi-step; the
+                thermostat cadence is computed in-device from step0+i."""
+                dtype = self.dtype
+
+                def body(carry, i):
+                    s, f, astr_acc, mdr = carry
+                    do_scale = ((step0 + i) % cfg.sstep) == 0
+                    out = step_block(s, f, tex, gex, plan, nbrs, lists,
+                                     frac_ref, do_scale)
+                    s, f, comps, nq, ke, dastr, diag, maxdr2 = out
+                    return ((s, f, astr_acc + dastr,
+                             jnp.maximum(mdr, maxdr2)),
+                            (comps, nq, ke, diag))
+                (s, f, astr, mdr), outs = jax.lax.scan(
+                    body, (s, f, jnp.zeros((6,), dtype),
+                           jnp.zeros((), dtype)),
+                    jnp.arange(nsteps), length=nsteps)
+                comps, nq, ke, diag = (o[-1] for o in outs)
+                vmax2 = jax.lax.pmax(
+                    jnp.max(jnp.where(s.valid,
+                                      jnp.sum(s.vel * s.vel, axis=1), 0.0)),
+                    ("x", "y", "z"))
+                return s, f, comps, nq, ke, astr, diag, mdr, vmax2
+
             lspec = _tree_specP(self._lists_struct())
-            smap = jax.shard_map(
-                step_block, mesh=mesh,
-                in_specs=(sspec, specP, specP, specP,
-                          _tree_specP(halo.HaloPlan(0, 0, 0, 0)),
-                          _tree_specP(neighbors.Neighbors(0, 0, 0, 0)),
-                          lspec, specP, P()),
-                out_specs=(sspec, specP, P(), P(), P(), P(), P(), P()))
+            common = (sspec, specP, specP, specP,
+                      _tree_specP(halo.HaloPlan(0, 0, 0, 0)),
+                      _tree_specP(neighbors.Neighbors(0, 0, 0, 0)),
+                      lspec, specP, P())
+            if nsteps == 1:
+                smap = jax.shard_map(
+                    step_block, mesh=mesh, in_specs=common,
+                    out_specs=(sspec, specP, P(), P(), P(), P(), P(), P()))
+            else:
+                smap = jax.shard_map(
+                    multi_block, mesh=mesh, in_specs=common,
+                    out_specs=(sspec, specP, P(), P(), P(), P(), P(), P(),
+                               P()))
             return jax.jit(smap)
 
+        self._make_step_program = make
         self._step_qeq = make(True)
         self._step_noqeq = make(False) if cfg.qstep > 1 else self._step_qeq
+        self._mstep = None
+        self.block_steps = max(int(cfg.block_steps), 1)
 
         def prep_block(s: ShardedState, tex, gex, plan, nbrs, lists):
             out = self._compute(s, tex, gex, plan, nbrs, lists, True,
@@ -777,11 +813,15 @@ class ShardedEngine:
         if step0 is None:
             step0 = getattr(self, "step_count", 0)
         prev_nat = None
-        for k in range(nsteps):
+        self._last_maxdr = getattr(self, "_last_maxdr", None)
+        self._vmax = getattr(self, "_vmax", None)
+        k = 0
+        while k < nsteps:
             stepno = step0 + k
             if cfg.mdmode in (0, 6) and stepno % cfg.sstep == 0 and k > 0:
                 # periodic Maxwell-Boltzmann redraw (ref: main.F90:53-54)
                 self.init_velocity(seed=stepno)
+                self._vmax = None
             # drift check lags one step and is polled on a cadence (each
             # poll is a device->host read); the 0.8x trigger absorbs both
             prev_dr2 = getattr(self, "_maxdr2_dev", None)
@@ -791,20 +831,64 @@ class ShardedEngine:
                     == 0)
             drifted = (poll
                        and float(prev_dr2) ** 0.5 > 0.8 * self.drift_trigger)
+            if self._last_maxdr is not None \
+                    and self._last_maxdr > 0.8 * self.drift_trigger:
+                drifted = True
             if self._steps_since_rebuild >= self.rebuild_every or drifted:
                 self.rebuild()
-            fn = (self._step_qeq if stepno % cfg.qstep == 0
-                  else self._step_noqeq)
-            do_scale = jnp.asarray(stepno % cfg.sstep == 0)
-            out = fn(self.sstate, self.force, self._tex, self._gex,
-                     self._plan, self._nbrs, self._tlists, self._frac_ref,
-                     do_scale)
-            (self.sstate, self.force, self.comps, self.nqeq, self.ke,
-             dastr, nat, self._maxdr2_dev) = out
+                self._last_maxdr = None
+
+            # steps until the next host boundary (same scheduling as
+            # md.Engine.run; blocks only when every step does QEq)
+            nb = nsteps - k
+            if log:
+                nb = min(nb, cfg.pstep - stepno % cfg.pstep)
+            if writer is not None:
+                nb = min(nb, cfg.fstep - stepno % cfg.fstep)
+            if cfg.mdmode in (0, 6):
+                nb = min(nb, cfg.sstep - stepno % cfg.sstep)
+            nb = min(nb, self.rebuild_every - self._steps_since_rebuild)
+            if cfg.qstep > 1:
+                nb = 1
+            if self._vmax is None and nb >= self.block_steps > 1:
+                self._vmax = float(jnp.max(jnp.where(
+                    self.sstate.valid,
+                    jnp.sum(self.sstate.vel * self.sstate.vel, axis=1),
+                    0.0))) ** 0.5
+            if self._vmax is not None and self._vmax > 0.0:
+                room = 0.8 * self.drift_trigger - (self._last_maxdr or 0.0)
+                budget = int(room / (1.25 * self._vmax * self.dt))
+                nb = min(nb, max(budget, 1))
+
+            if nb >= self.block_steps > 1:
+                if self._mstep is None:
+                    self._mstep = self._make_step_program(
+                        True, self.block_steps)
+                out = self._mstep(self.sstate, self.force, self._tex,
+                                  self._gex, self._plan, self._nbrs,
+                                  self._tlists, self._frac_ref,
+                                  jnp.int32(stepno))
+                (self.sstate, self.force, self.comps, self.nqeq, self.ke,
+                 dastr, nat, mdr, vmax2) = out
+                self._last_maxdr = float(mdr) ** 0.5
+                self._vmax = float(vmax2) ** 0.5
+                self._maxdr2_dev = None
+                nadv = self.block_steps
+            else:
+                fn = (self._step_qeq if stepno % cfg.qstep == 0
+                      else self._step_noqeq)
+                do_scale = jnp.asarray(stepno % cfg.sstep == 0)
+                out = fn(self.sstate, self.force, self._tex, self._gex,
+                         self._plan, self._nbrs, self._tlists,
+                         self._frac_ref, do_scale)
+                (self.sstate, self.force, self.comps, self.nqeq, self.ke,
+                 dastr, nat, self._maxdr2_dev) = out
+                nadv = 1
             self._astr = self._astr + dastr
-            self._astr_steps += 1
-            self._steps_since_rebuild += 1
-            self.step_count = stepno + 1
+            self._astr_steps += nadv
+            self._steps_since_rebuild += nadv
+            k += nadv
+            self.step_count = stepno + nadv
             emit_log = log and self.step_count % cfg.pstep == 0
             emit_frame = writer is not None and \
                 self.step_count % cfg.fstep == 0

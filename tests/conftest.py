@@ -20,7 +20,9 @@ jax.config.update("jax_enable_x64", True)
 
 # persistent compilation cache: the sharded-engine tests compile large
 # shard_map programs; caching makes repeat suite runs minutes faster
-_cache = os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache")
+from rxmd_tpu import _arch_tag    # cache keyed by CPU uarch: foreign
+_cache = os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache",
+                      _arch_tag())  # AOT entries abort (SIGILL) on load
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

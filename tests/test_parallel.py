@@ -56,7 +56,8 @@ def test_mesh8_tiny_step_conserves_and_finite():
         pytest.skip("needs 8 virtual devices")
     ff = ffield.parse_ffield(FF)
     st = system.from_cellfile(CELL, ff.name_to_type, dtype=jnp.float32)
-    cfg = RunConfig(mdmode=1, dt_fs=0.25, isQEq=2, qstep=1, dtype="float32")
+    cfg = RunConfig(mdmode=1, dt_fs=0.25, isQEq=2, qstep=1, dtype="float32",
+                    nbr_skin=0.1)   # the tiny 2x2x2 box barely fits the skin
     eng = ShardedEngine(ff, st, cfg, mesh_shape=(2, 2, 2),
                         devices=jax.devices()[:8],
                         rctap=5.0, skin_layers=1.0)
