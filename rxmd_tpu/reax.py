@@ -1003,9 +1003,33 @@ def e_3body(pos, H, types, img, nbrs, bo: BondOrder, lp: LonePair, amask,
     bo0 = bo.bo[..., 0]
     esub = units.CUTOF2_ESUB
     maskp = bo.mask
+    n, kb = bo0.shape
 
-    boij_raw = bo0[j, a]
-    bojk_raw = bo0[j, c]
+    # center sums (ref: pot.F90:359-365), (n,) then gathered per entry
+    sum_bo8 = jnp.sum(jnp.where(maskp, -_powm(bo0, 8.0, maskp), 0.0), axis=1)
+    prod_sbo = jnp.exp(sum_bo8)
+    sum_sbo1 = jnp.sum(jnp.where(maskp, bo.bo[..., 2] + bo.bo[..., 3], 0.0),
+                       axis=1)
+    delta_ang_n = bo.delta + ffd.Val[types] - ffd.Valangle[types]
+
+    # packed row gathers: ONE (M, 4) bond-row gather per leg and ONE
+    # (M, 8) center-row gather replace ~14 flat 1-D gathers (the flat
+    # form takes the TPU's slow scalar-gather path; cf. ctx_qj)
+    bpack = jnp.concatenate([bo.bo[..., 0:1], bo.drb],
+                            axis=-1).reshape(n * kb, 4)
+    rowa = bpack[j * kb + a]
+    rowc = bpack[j * kb + c]
+    dpv = bo.delta + ffd.Val[types]
+    cpack = jnp.stack([
+        ffd.pval3[types], ffd.pval5[types], delta_ang_n, sum_sbo1,
+        prod_sbo, lp.nlp, bo.delta,
+        dpv - ffd.Valval[types], dpv], axis=-1)         # (n, 9)
+    rj = cpack[j]
+    dv = cpack[al.oi][:, 8]
+    dk = cpack[al.ok][:, 8]
+
+    boij_raw = rowa[:, 0]
+    bojk_raw = rowc[:, 0]
     # live gates: exact reference semantics regardless of list staleness
     valid = (al.valid & (boij_raw > esub) & (bojk_raw > esub)
              & (boij_raw * bojk_raw > esub))
@@ -1017,15 +1041,8 @@ def e_3body(pos, H, types, img, nbrs, bo: BondOrder, lp: LonePair, amask,
      pval10_, ppen1_, ppen2_, ppen3_, ppen4_, pcoa1_, pcoa2_, pcoa3_,
      pcoa4_) = [ap[..., k] for k in range(17)]
 
-    # center sums (ref: pot.F90:359-365), (n,) then gathered per entry
-    sum_bo8 = jnp.sum(jnp.where(maskp, -_powm(bo0, 8.0, maskp), 0.0), axis=1)
-    prod_sbo = jnp.exp(sum_bo8)
-    sum_sbo1 = jnp.sum(jnp.where(maskp, bo.bo[..., 2] + bo.bo[..., 3], 0.0),
-                       axis=1)
-    delta_ang_n = bo.delta + ffd.Val[types] - ffd.Valangle[types]
-
-    rij = -bo.drb[j, a]                                # (M, 3)
-    rjk = bo.drb[j, c]
+    rij = -rowa[:, 1:4]                                # (M, 3)
+    rjk = rowc[:, 1:4]
     cos_ijk, _, _ = _angle_cos(rij, rjk, valid)
     theta = jnp.arccos(cos_ijk)
 
@@ -1034,17 +1051,17 @@ def e_3body(pos, H, types, img, nbrs, bo: BondOrder, lp: LonePair, amask,
 
     # --- PEval (ref: pot.F90:404-427)
     pv4 = pval4_
-    pv3j = ffd.pval3[types[j]]
+    pv3j = rj[:, 0]
     fn7ij = 1.0 - jnp.exp(-pv3j * _powm(boij_s, pv4, valid))
     fn7jk = 1.0 - jnp.exp(-pv3j * _powm(bojk_s, pv4, valid))
-    da = delta_ang_n[j]
+    da = rj[:, 2]
     exp6 = _exp(pval6_ * da)
     exp7 = _exp(-pval7_ * da)
     trm8 = 1.0 + exp6 + exp7
-    pv5j = ffd.pval5[types[j]]
+    pv5j = rj[:, 1]
     fn8j = pv5j - (pv5j - 1.0) * (2.0 + exp6) / trm8
 
-    sbo = sum_sbo1[j] + (1.0 - prod_sbo[j]) * (-da - pval8_ * lp.nlp[j])
+    sbo = rj[:, 3] + (1.0 - rj[:, 4]) * (-da - pval8_ * rj[:, 5])
     pv9 = pval9_
     sbo_s = jnp.clip(sbo, 0.0, 2.0)
     sbo2 = jnp.where(
@@ -1060,7 +1077,7 @@ def e_3body(pos, H, types, img, nbrs, bo: BondOrder, lp: LonePair, amask,
     peval = fn7ij * fn7jk * fn8j * (pval1_ - pval1_ * exp2)
 
     # --- PEpen (ref: pot.F90:460-466)
-    dj = bo.delta[j]
+    dj = rj[:, 6]
     exp_pen3 = _exp(-ppen3_ * dj)
     exp_pen4 = _exp(ppen4_ * dj)
     fn9 = (2.0 + exp_pen3) / (1.0 + exp_pen3 + exp_pen4)
@@ -1069,9 +1086,7 @@ def e_3body(pos, H, types, img, nbrs, bo: BondOrder, lp: LonePair, amask,
              * jnp.exp(-ppen2_ * (bojk - 2.0) ** 2))
 
     # --- PEcoa (ref: pot.F90:479-489)
-    dv = bo.delta[al.oi] + ffd.Val[types[al.oi]]
-    dk = bo.delta[al.ok] + ffd.Val[types[al.ok]]
-    delta_val = (bo.delta + ffd.Val[types] - ffd.Valval[types])[j]
+    delta_val = rj[:, 7]
     pecoa = (pcoa1_ * _logistic(pcoa2_ * delta_val)
              * jnp.exp(-pcoa3_ * (-boij + dv) ** 2)
              * jnp.exp(-pcoa3_ * (-bojk + dk) ** 2)
@@ -1203,11 +1218,18 @@ def e_4body(pos, H, types, img, nbrs, bo: BondOrder, amask, gid,
     j, a, c, ok, e = tl.j, tl.a, tl.c, tl.ok, tl.e
     bo0 = bo.bo[..., 0]
     esub = units.CUTOF2_ESUB
+    n, kb = bo0.shape
     delta_ang_n = bo.delta + ffd.Val[types] - ffd.Valangle[types]
 
-    boij_raw = bo0[j, a]
-    bojk_raw = bo0[j, c]
-    bokl_raw = bo0[ok, e]
+    # packed row gathers (one (M,5) row per bond leg; cf. e_3body)
+    bpack = jnp.concatenate([bo.bo[..., 0:1], bo.bo[..., 2:3], bo.drb],
+                            axis=-1).reshape(n * kb, 5)
+    rowa = bpack[j * kb + a]
+    rowc = bpack[j * kb + c]
+    rowe = bpack[ok * kb + e]
+    boij_raw = rowa[:, 0]
+    bojk_raw = rowc[:, 0]
+    bokl_raw = rowe[:, 0]
     # live gates (exact reference semantics under list staleness)
     valid = (tl.valid
              & (boij_raw > esub) & (bojk_raw > esub) & (bokl_raw > esub)
@@ -1217,14 +1239,14 @@ def e_4body(pos, H, types, img, nbrs, bo: BondOrder, amask, gid,
     boij = boij_raw - esub
     bojk = bojk_raw - esub
     bokl = bokl_raw - esub
-    bo_pi_jk = bo.bo[..., 2][j, c]
+    bo_pi_jk = rowc[:, 1]
     tp = tl.prm                                        # (M, 9)
     (V1_, V2_, V3_, ptor1_, ptor2_, ptor3_, ptor4_, pcot1_,
      pcot2_) = [tp[..., k] for k in range(9)]
 
-    rij = -bo.drb[j, a]                                # r_i - r_j
-    rjk = bo.drb[j, c]                                 # r_j - r_k
-    rkl = bo.drb[ok, e]                                # r_k - r_l
+    rij = -rowa[:, 2:5]                                # r_i - r_j
+    rjk = rowc[:, 2:5]                                 # r_j - r_k
+    rkl = rowe[:, 2:5]                                 # r_k - r_l
 
     cos_ijk, nij, njk = _angle_cos(rij, rjk, valid)
     cos_jkl, _, nkl = _angle_cos(rjk, rkl, valid)
@@ -1248,7 +1270,11 @@ def e_4body(pos, H, types, img, nbrs, bo: BondOrder, amask, gid,
     exp_tor2_ij = jnp.exp(-ptor2_ * boij_s)
     exp_tor2_jk = jnp.exp(-ptor2_ * bojk_s)
     exp_tor2_kl = jnp.exp(-ptor2_ * bokl_s)
-    dajk = delta_ang_n[j] + delta_ang_n[ok]
+    # 2-col row gathers (the flat 1-D form takes the scalar path; the
+    # barrier keeps XLA from narrowing the duplicated column — cf. ctx_qj)
+    dpack = jax.lax.optimization_barrier(
+        jnp.stack([delta_ang_n, delta_ang_n], axis=-1))
+    dajk = dpack[j][:, 0] + dpack[ok][:, 1]
     exp_tor3 = _exp(-ptor3_ * dajk)
     exp_tor4 = _exp(ptor4_ * dajk)
     fn10 = (1.0 - exp_tor2_ij) * (1.0 - exp_tor2_jk) * (1.0 - exp_tor2_kl)

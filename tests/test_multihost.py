@@ -43,7 +43,7 @@ WORKER = textwrap.dedent("""
     st = system.from_cellfile(%r, ff.name_to_type, mc=(2, 2, 2),
                               dtype=jnp.float32)
     cfg = RunConfig(mdmode=1, dt_fs=0.25, isQEq=2, qstep=1, pstep=1000,
-                    sstep=1000, dtype="float32")
+                    sstep=1000, dtype="float32", nbr_skin=0.1)
     eng = ShardedEngine(ff, st, cfg, mesh_shape=(2, 2, 2),
                         rctap=5.0, skin_layers=1.0)
     # rendezvous before the heavy program so the Gloo communicator is
@@ -55,6 +55,23 @@ WORKER = textwrap.dedent("""
     multihost_utils.sync_global_devices("prepared")
     eng.run(2)
     stg = eng.to_state()
+    # scalable output: per-process slab writes at precomputed offsets —
+    # no position allgather (the MPI-IO analog, ref: fileio.F90:81-95)
+    slabdir = os.environ["RXMD_TEST_SLABDIR"]
+    from rxmd_tpu.io import slab, traj, refbin
+    slab.write_xyz_slab(slabdir + "/mh.xyz", eng)
+    slab.write_bin_slab(slabdir + "/mh.bin", eng)
+    if jax.process_index() == 0:
+        traj.write_xyz(slabdir + "/ref.xyz", stg, ff.atom_names)
+        assert open(slabdir + "/mh.xyz", "rb").read() == \
+            open(slabdir + "/ref.xyz", "rb").read(), "slab xyz mismatch"
+        st2, meta = refbin.read_rxff_bin(slabdir + "/mh.bin")
+        assert meta["nprocs"] == 8 and st2.n == st.n
+        order = np.argsort(np.asarray(st2.gid))
+        dq = np.abs(np.asarray(st2.q)[order] - np.asarray(stg.q)).max()
+        assert dq < 1e-6, dq
+        print("SLABOK", flush=True)
+    multihost_utils.sync_global_devices("slab-done")
     pe = float(eng.comps[0]) / st.n
     print("MHRESULT", jax.process_index(), st.n, "%%.8f" %% pe,
           "%%.6e" %% float(np.abs(np.asarray(stg.q)).max()), flush=True)
@@ -86,6 +103,7 @@ def test_two_process_mesh(tmp_path):
             env["PYTHONPATH"] = os.path.dirname(
                 os.path.dirname(os.path.abspath(__file__)))
             env["RXMD_TEST_CACHE"] = str(tmp_path / "cache")
+            env["RXMD_TEST_SLABDIR"] = str(tmp_path)
             procs.append(subprocess.Popen(
                 [sys.executable, str(script)], env=env,
                 cwd=os.path.dirname(os.path.dirname(
@@ -123,6 +141,8 @@ def test_two_process_mesh(tmp_path):
     assert tok0[3] == tok1[3], (tok0, tok1)
     pe_mh = float(tok0[3])
     assert np.isfinite(pe_mh)
+    # rank 0 verified the per-process slab writers byte-for-byte
+    assert any("SLABOK" in o for o in outs), outs
 
     # reference: the SAME configuration on this process's 8 local devices
     from rxmd_tpu import ffield, system
@@ -132,7 +152,7 @@ def test_two_process_mesh(tmp_path):
     st = system.from_cellfile(CELL, ff.name_to_type, mc=(2, 2, 2),
                               dtype=jnp.float32)
     cfg = RunConfig(mdmode=1, dt_fs=0.25, isQEq=2, qstep=1, pstep=1000,
-                    sstep=1000, dtype="float32")
+                    sstep=1000, dtype="float32", nbr_skin=0.1)
     eng = ShardedEngine(ff, st, cfg, mesh_shape=(2, 2, 2),
                         rctap=5.0, skin_layers=1.0)
     eng.prepare()
