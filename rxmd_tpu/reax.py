@@ -274,6 +274,21 @@ def _exp(x):
     return jnp.exp(jnp.clip(x, -_EXP_CAP, _EXP_CAP))
 
 
+def _ratio23(a, b):
+    """(2 + e^a) / (1 + e^a + e^b), overflow-free in the forward AND the
+    backward pass (softmax-style max-shift: every exponent <= 0).
+
+    The naive form's backward pass squares e^a in the quotient rule; with
+    ReaxFF exponents like pval6=33.9 (FeS) the f32 intermediate overflows
+    and fabricates O(10^3) forces while the VALUE stays finite — observed
+    as an f32-only NVE blowup on pyrite (f64 conserved)."""
+    m = jnp.maximum(jnp.maximum(a, b), 0.0)
+    ea = jnp.exp(a - m)
+    eb = jnp.exp(b - m)
+    e0 = jnp.exp(-m)
+    return (2.0 * e0 + ea) / (e0 + ea + eb)
+
+
 def _logistic(u):
     """1/(1+exp(u)) via sigmoid: overflow-free forward AND backward."""
     return jax.nn.sigmoid(-u)
@@ -1043,8 +1058,18 @@ def e_3body(pos, H, types, img, nbrs, bo: BondOrder, lp: LonePair, amask,
 
     rij = -rowa[:, 1:4]                                # (M, 3)
     rjk = rowc[:, 1:4]
-    cos_ijk, _, _ = _angle_cos(rij, rjk, valid)
-    theta = jnp.arccos(cos_ijk)
+    # theta via atan2(|rij x rjk|, -rij.rjk): numerically stable at the
+    # linear limit.  The arccos(clipped cos) form (ref: pot.F90:394-400)
+    # is fine in f64 but in f32 rounding pushes near-linear angles into
+    # the clamp, where the d(arccos)/dcos ~ 1/sqrt(1-c^2) factor
+    # fabricates O(10^3) kcal/mol/A forces (observed: FeS pyrite NVE blew
+    # up in f32 while conserving in f64; atan2 forces match f64 to 1e-4)
+    dotp = -jnp.sum(rij * rjk, axis=-1)
+    crs = jnp.cross(rij, rjk)
+    floor = 1e-20 if rij.dtype == jnp.float64 else 1e-12
+    sn = jnp.sqrt(jnp.maximum(_safe(jnp.sum(crs * crs, axis=-1), valid),
+                              floor))
+    theta = jnp.arctan2(sn, dotp)
 
     boij_s = _safe(boij, valid)
     bojk_s = _safe(bojk, valid)
@@ -1055,11 +1080,8 @@ def e_3body(pos, H, types, img, nbrs, bo: BondOrder, lp: LonePair, amask,
     fn7ij = 1.0 - jnp.exp(-pv3j * _powm(boij_s, pv4, valid))
     fn7jk = 1.0 - jnp.exp(-pv3j * _powm(bojk_s, pv4, valid))
     da = rj[:, 2]
-    exp6 = _exp(pval6_ * da)
-    exp7 = _exp(-pval7_ * da)
-    trm8 = 1.0 + exp6 + exp7
     pv5j = rj[:, 1]
-    fn8j = pv5j - (pv5j - 1.0) * (2.0 + exp6) / trm8
+    fn8j = pv5j - (pv5j - 1.0) * _ratio23(pval6_ * da, -pval7_ * da)
 
     sbo = rj[:, 3] + (1.0 - rj[:, 4]) * (-da - pval8_ * rj[:, 5])
     pv9 = pval9_
@@ -1078,9 +1100,7 @@ def e_3body(pos, H, types, img, nbrs, bo: BondOrder, lp: LonePair, amask,
 
     # --- PEpen (ref: pot.F90:460-466)
     dj = rj[:, 6]
-    exp_pen3 = _exp(-ppen3_ * dj)
-    exp_pen4 = _exp(ppen4_ * dj)
-    fn9 = (2.0 + exp_pen3) / (1.0 + exp_pen3 + exp_pen4)
+    fn9 = _ratio23(-ppen3_ * dj, ppen4_ * dj)
     pepen = (ppen1_ * fn9
              * jnp.exp(-ppen2_ * (boij - 2.0) ** 2)
              * jnp.exp(-ppen2_ * (bojk - 2.0) ** 2))
@@ -1275,10 +1295,8 @@ def e_4body(pos, H, types, img, nbrs, bo: BondOrder, amask, gid,
     dpack = jax.lax.optimization_barrier(
         jnp.stack([delta_ang_n, delta_ang_n], axis=-1))
     dajk = dpack[j][:, 0] + dpack[ok][:, 1]
-    exp_tor3 = _exp(-ptor3_ * dajk)
-    exp_tor4 = _exp(ptor4_ * dajk)
     fn10 = (1.0 - exp_tor2_ij) * (1.0 - exp_tor2_jk) * (1.0 - exp_tor2_kl)
-    fn11 = (2.0 + exp_tor3) / (1.0 + exp_tor3 + exp_tor4)
+    fn11 = _ratio23(-ptor3_ * dajk, ptor4_ * dajk)
     fn12 = jnp.exp(-pcot2_ * ((boij_s - 1.5) ** 2
                               + (bojk_s - 1.5) ** 2
                               + (bokl_s - 1.5) ** 2))
