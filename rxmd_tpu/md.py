@@ -94,7 +94,13 @@ def probe_capacities(ff: ForceField, state: State, ffd, rctap, dtype,
             "hbf": max(_round_up(int(tc["hbf"] * 1.4) + 64, 256), 256),
             "ks": _round_up(tc["degmax"] + 2, 2),
             "kh": max(_round_up(tc.get("h_slots", 4) + 1, 2), 2),
-            "kb_t": kb_t, "knb_t": knb_t}
+            "kb_t": kb_t, "knb_t": knb_t,
+            # per-center maxima for the two-stage list pack (rowcap):
+            # generous headroom — the staging table is cheap and a row
+            # overflow aborts the run like a cap overflow
+            "ang_row": _round_up(int(tc["ang_row"] * 1.6) + 8, 8),
+            "tor_row": _round_up(int(tc["tor_row"] * 1.6) + 8, 8),
+            "hb_row": max(_round_up(int(tc["hb"] * 1.6) + 8, 8), 8)}
     return kb, knb, caps
 
 
@@ -543,15 +549,18 @@ class Engine:
                 al = reax.build_angle_list(
                     s.types, self.img, nbrs, bo, amask, self.ffd,
                     cap=self.caps["ang"], ks=self.caps["ks"],
-                    slack=self.term_slack, margin=self.term_margin)
+                    slack=self.term_slack, margin=self.term_margin,
+                    rowcap=self.caps.get("ang_row", 0))
                 tl = reax.build_torsion_list(
                     s.types, s.gid, self.img, nbrs, bo, amask, self.ffd,
                     cap=self.caps["tor"], ks=self.caps["ks"],
-                    slack=self.term_slack, margin=self.term_margin)
+                    slack=self.term_slack, margin=self.term_margin,
+                    rowcap=self.caps.get("tor_row", 0))
                 hl = reax.build_hbond_list(
                     pos, s.H, s.types, self.img, nbrs, bo, amask, self.ffd,
                     cap=self.caps["hbf"], kh=self.caps["kh"],
-                    slack=self.term_slack, margin=self.term_margin)
+                    slack=self.term_slack, margin=self.term_margin,
+                    rowcap=self.caps.get("hb_row", 0))
                 lists = (al, tl, hl)
             sm = self._bin_pair_slots(pos, s.H) if self.pairk else ()
             return dataclasses.replace(s, pos=pos), nbrs, lists, sm

@@ -429,15 +429,18 @@ class ShardedEngine:
             al = reax.build_angle_list(
                 tex, img, nbrs, bo, amask, self.ffd, cap=self.caps["ang"],
                 ks=self.caps["ks"], slack=self.term_slack,
-                margin=self.term_margin)
+                margin=self.term_margin,
+                rowcap=self.caps.get("ang_row", 0))
             tl = reax.build_torsion_list(
                 tex, gex, img, nbrs, bo, amask, self.ffd,
                 cap=self.caps["tor"], ks=self.caps["ks"],
-                slack=self.term_slack, margin=self.term_margin)
+                slack=self.term_slack, margin=self.term_margin,
+                rowcap=self.caps.get("tor_row", 0))
             hl = reax.build_hbond_list(
                 pos_rel, self.Hg, tex, img, nbrs, bo, amask, self.ffd,
                 cap=self.caps["hbf"], kh=self.caps["kh"],
-                slack=self.term_slack, margin=self.term_margin)
+                slack=self.term_slack, margin=self.term_margin,
+                rowcap=self.caps.get("hb_row", 0))
             cnts = [al.cnt, tl.cnt, hl.cnt]
             # scalar leaves can't ride the stacked block sharding
             lists = tuple(x._replace(cnt=x.cnt[None]) for x in (al, tl, hl))

@@ -908,6 +908,44 @@ def _flat_compact(mask_flat, cap):
     return idx, valid, cnt
 
 
+def _flat_compact_rows(mask, cap, rowcap):
+    """Two-stage pack of a (R, S) mask into flat R*S indices — output
+    identical to `_flat_compact(mask.reshape(-1), cap)` as long as no row
+    holds more than `rowcap` true entries.
+
+    Stage 1 front-packs each row's true flat indices into an (R, rowcap)
+    staging table (per-row cumsum + one flat scatter); stage 2 runs the
+    plain flat pack over the staging table.  This replaces the global
+    cumsum over R*S elements (S = ks^3 for torsions, kh*knb for hbonds —
+    tens of millions at production N, the shapes implicated in the
+    large-N compile-service crash, SCALING.md) with a per-row scan plus
+    a pack over R*rowcap elements, typically 15-50x smaller.
+
+    A row overflowing `rowcap` cannot be packed faithfully; it is
+    surfaced by returning a sentinel cnt (2^30) so every existing
+    `cnt > cap` overflow check trips loudly (the caller aborts like the
+    reference, main.F90:402-407)."""
+    R, S = mask.shape
+    rowcap = int(min(rowcap, S))
+    posr = jnp.cumsum(mask, axis=1, dtype=jnp.int32) - 1        # (R, S)
+    rowmax = jnp.max(posr[:, -1]) + 1
+    src = (jnp.arange(R, dtype=jnp.int32)[:, None] * S
+           + jnp.arange(S, dtype=jnp.int32)[None, :])
+    dst = jnp.where(mask & (posr < rowcap),
+                    jnp.arange(R, dtype=jnp.int32)[:, None] * rowcap + posr,
+                    R * rowcap).astype(jnp.int32)
+    stage = jnp.full((R * rowcap,), -1, jnp.int32
+                     ).at[dst.reshape(-1)].set(src.reshape(-1), mode="drop")
+    m2 = stage >= 0
+    pos2 = jnp.cumsum(m2, dtype=jnp.int32) - 1
+    dst2 = jnp.where(m2, pos2, cap).astype(jnp.int32)
+    idx = jnp.zeros((cap,), jnp.int32).at[dst2].set(stage, mode="drop")
+    cnt_true = mask.sum(dtype=jnp.int32)
+    cnt = jnp.where(rowmax > rowcap, jnp.int32(2 ** 30), cnt_true)
+    valid = jnp.arange(cap) < cnt
+    return idx, valid, cnt
+
+
 class AngleList(NamedTuple):
     """Flat valence-angle list: one entry per (center j, bond a, bond c).
     Flat (not per-atom-padded) because interaction counts are very uneven
@@ -981,14 +1019,18 @@ def _angle_mask(types, img, nbrs, bo, amask, ffd, ks, slack, margin):
 
 def build_angle_list(types, img, nbrs, bo: BondOrder, amask, ffd: FFDev,
                      cap: int = 4096, ks: int = 12, slack: float = 1.0,
-                     margin: float = 0.0) -> AngleList:
+                     margin: float = 0.0, rowcap: int = 0) -> AngleList:
     """Compact flat angle list (ref enumeration: pot.F90:369-399).
-    `cap` is the TOTAL entry capacity across all atoms."""
+    `cap` is the TOTAL entry capacity across all atoms; `rowcap` > 0
+    bounds the per-center count and selects the two-stage pack."""
     n, kb = nbrs.idxb.shape
     pm, sslot, _ = _angle_mask(types, img, nbrs, bo, amask, ffd, ks, slack,
                                margin)
     ks = sslot.shape[1]
-    fidx, valid, cnt = _flat_compact(pm.reshape(-1), cap)
+    if rowcap > 0:
+        fidx, valid, cnt = _flat_compact_rows(pm.reshape(n, -1), cap, rowcap)
+    else:
+        fidx, valid, cnt = _flat_compact(pm.reshape(-1), cap)
     j = fidx // (ks * ks)
     s = fidx % (ks * ks)
     a = sslot[j, s // ks]
@@ -1192,8 +1234,8 @@ def _torsion_mask(types, gid, img, nbrs, bo: BondOrder, amask, ffd: FFDev,
 
 def build_torsion_list(types, gid, img, nbrs, bo: BondOrder, amask,
                        ffd: FFDev, cap: int = 8192, ks: int = 12,
-                       slack: float = 1.0,
-                       margin: float = 0.0) -> TorsionList:
+                       slack: float = 1.0, margin: float = 0.0,
+                       rowcap: int = 0) -> TorsionList:
     """Compact flat torsion list (ref enumeration: pot.F90:1019-1081).
 
     Center j, bond c -> k (counted once via gid(j) < gid(k)), slot a -> i in
@@ -1204,7 +1246,11 @@ def build_torsion_list(types, gid, img, nbrs, bo: BondOrder, amask,
     mask4, sslot, svalid = _torsion_mask(types, gid, img, nbrs, bo, amask,
                                          ffd, ks, slack, margin)
     ks = sslot.shape[1]
-    fidx, valid, cnt = _flat_compact(mask4.reshape(-1), cap)
+    if rowcap > 0:
+        fidx, valid, cnt = _flat_compact_rows(mask4.reshape(n, -1), cap,
+                                              rowcap)
+    else:
+        fidx, valid, cnt = _flat_compact(mask4.reshape(-1), cap)
     j = fidx // (ks * ks * ks)
     s = fidx % (ks * ks * ks)
     a = sslot[j, s // (ks * ks)]
@@ -1366,7 +1412,8 @@ def _hbond_mask(pos, H, types, img, nbrs, bo: BondOrder, amask, ffd: FFDev,
 
 def build_hbond_list(pos, H, types, img, nbrs, bo: BondOrder, amask,
                      ffd: FFDev, cap: int = 1024, kh: int = 4,
-                     slack: float = 1.0, margin: float = 0.0) -> HBondList:
+                     slack: float = 1.0, margin: float = 0.0,
+                     rowcap: int = 0) -> HBondList:
     """Compact flat hbond list; `cap` is the TOTAL entry capacity."""
     n, kb = nbrs.idxb.shape
     if ffd.r0hb.shape[0] == 0:
@@ -1377,7 +1424,10 @@ def build_hbond_list(pos, H, types, img, nbrs, bo: BondOrder, amask,
                                kh, slack, margin)
     kh = hslot.shape[1]
     knb = nbrs.idxnb.shape[1]
-    fidx, valid, cnt = _flat_compact(m.reshape(-1), cap)
+    if rowcap > 0:
+        fidx, valid, cnt = _flat_compact_rows(m.reshape(n, -1), cap, rowcap)
+    else:
+        fidx, valid, cnt = _flat_compact(m.reshape(-1), cap)
     i = fidx // (kh * knb)
     s = fidx % (kh * knb)
     a_h = s // knb
@@ -1788,11 +1838,13 @@ def term_counts(pos, H, types, gid, img, nbrs, ffd, amask=None,
     pm, _, _ = _angle_mask(types, img, nbrs, bo, amask, ffd, ksp, slack,
                            margin)
     ang = int(pm.sum())                        # TOTAL entries (flat lists)
+    ang_row = int(pm.sum(axis=(1, 2)).max())   # per-center max (rowcap)
     # probe the torsion occupancy on the candidate sublist only (kb can be
     # much larger than the real bond degree when lists carry a Verlet skin)
     mask4, _, _ = _torsion_mask(types, gid, img, nbrs, bo, amask, ffd,
                                 ks=ksp, slack=slack, margin=margin)
     tor = int(mask4.sum())                     # TOTAL entries (flat lists)
+    tor_row = int(mask4.sum(axis=(1, 2, 3)).max())
     # hbond: count H-bonded slots, per-donor pair occupancy (compacted
     # per-atom mode) and the TOTAL flat candidate count (cached flat list),
     # with the same slack/margin gates the builder will use
@@ -1808,4 +1860,4 @@ def term_counts(pos, H, types, gid, img, nbrs, ffd, amask=None,
         hb = int(m.sum(axis=(1, 2)).max())
         hbf = int(m.sum())
     return {"ang": ang, "tor": tor, "hb": hb, "hbf": hbf, "degmax": degmax,
-            "h_slots": h_slots}
+            "h_slots": h_slots, "ang_row": ang_row, "tor_row": tor_row}
