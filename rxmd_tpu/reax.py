@@ -1400,9 +1400,13 @@ def _hbond_mask(pos, H, types, img, nbrs, bo: BondOrder, amask, ffd: FFDev,
     # (n, kh, knb) inxn3hb gather is ~10x slower on TPU (cf. e_hbond)
     tk = types[img.owner_of(idxnb)]                        # (n, knb)
     nso = ffd.hbok.shape[0]
-    tkoh = (tk[..., None] == jnp.arange(nso)).astype(pos.dtype)
+    # acceptor one-hot laid out (n, nso, knb), NOT (n, knb, nso): the TPU
+    # tiles the two minor dims to (8, 128), so an nso(~8)-minor buffer
+    # inflates ~16x when materialized as an einsum operand (6 GB at
+    # N=16.8k — enough to kill the worker; cf. SCALING.md large-N status)
+    tkoh = (tk[:, None, :] == jnp.arange(nso)[:, None]).astype(pos.dtype)
     hbrow = ffd.hbok[types[:, None], th]                   # (n, kh, nso)
-    ok_t = jnp.einsum("nkc,nhc->nhk", tkoh, hbrow,
+    ok_t = jnp.einsum("nck,nhc->nhk", tkoh, hbrow,
                       preferred_element_type=pos.dtype) > 0.5
     m = (hvalid[:, :, None] & nbrs.masknb[:, None, :] & ok_t
          & (idx_h[:, :, None] != idxnb[:, None, :])
