@@ -119,6 +119,15 @@ class RunConfig:
                                  # on v5e the dense path still beats the
                                  # gather-bound ELL path at 10.7k atoms
                                  # (SCALING.md).  0 disables.
+    list_chunk: int = 4096       # row-chunk size for the torsion/hbond
+                                 # list builds (lax.map over center-row
+                                 # blocks; bit-identical output).  Bounds
+                                 # the builds' peak HBM/compile footprint
+                                 # so production N compiles on the TPU —
+                                 # the one-shot build crashes the compile
+                                 # service at N >= 16.8k (SCALING.md).
+                                 # Applied when n > this value; 0 never
+                                 # chunks.
     nonbond_closed_form: bool = None
                                  # None (auto): closed-form vdW/Coulomb/QEq
                                  # kernels in float32 production (VPU math,

@@ -289,7 +289,7 @@ class Engine:
         self._step_fn = self._make_step()
         self._step = jax.jit(self._step_fn)
         self._prepare = jax.jit(self._make_prepare())
-        self._rebuild = jax.jit(self._make_rebuild())
+        self._rebuild = self._make_rebuild()   # split multi-program rebuild
         # multi-step blocks: K steps per dispatch via lax.scan.  Over a
         # remote-tunneled chip every dispatch/host-read costs a full RTT
         # (measured 64 ms on axon — more than half a step); batching K
@@ -537,32 +537,56 @@ class Engine:
         see build_angle_list/build_torsion_list).  Called on the rebuild
         cadence or when the drift monitor trips; between rebuilds the
         positions evolve unwrapped so the stale image assignments stay
-        geometrically consistent."""
+        geometrically consistent.
+
+        The rebuild is SPLIT into several independently-jitted programs
+        (nbrs / bond-order / each list build): compiled as ONE fused
+        program its peak footprint crashes the TPU compile service at
+        N >= 16.8k, while every piece compiles and runs fine at the same
+        size (SCALING.md "Large-N status").  Rebuilds run every ~25-40
+        steps, the dispatches are enqueued asynchronously, and no host
+        read sits between them, so the split costs nothing measurable."""
+        def wrap_nbrs(pos0, H, types):
+            pos = self._wrap(pos0, H)
+            return pos, self._build_nbrs(pos, H, types)
+
+        jwrap_nbrs = jax.jit(wrap_nbrs)
+        jbo = jax.jit(lambda pos, H, types, nbrs: reax.bond_order(
+            pos, H, types, self.img, nbrs, self.ffd))
+        jang = jax.jit(lambda types, nbrs, bo: reax.build_angle_list(
+            types, self.img, nbrs, bo, jnp.ones(bo.mask.shape[0], bool),
+            self.ffd, cap=self.caps["ang"], ks=self.caps["ks"],
+            slack=self.term_slack, margin=self.term_margin,
+            rowcap=self.caps.get("ang_row", 0)))
+        # row-chunked torsion/hbond builds above list_chunk atoms: the
+        # one-shot builds crash the TPU compile service at N >= 16.8k
+        # (SCALING.md); chunking is bit-identical and bounds peak memory
+        chunk = (self.cfg.list_chunk
+                 if 0 < self.cfg.list_chunk < self.state.n else 0)
+        jtor = jax.jit(lambda types, gid, nbrs, bo: reax.build_torsion_list(
+            types, gid, self.img, nbrs, bo,
+            jnp.ones(bo.mask.shape[0], bool), self.ffd,
+            cap=self.caps["tor"], ks=self.caps["ks"],
+            slack=self.term_slack, margin=self.term_margin,
+            rowcap=self.caps.get("tor_row", 0), chunk=chunk))
+        jhb = jax.jit(lambda pos, H, types, nbrs, bo: reax.build_hbond_list(
+            pos, H, types, self.img, nbrs, bo,
+            jnp.ones(bo.mask.shape[0], bool), self.ffd,
+            cap=self.caps["hbf"], kh=self.caps["kh"],
+            slack=self.term_slack, margin=self.term_margin,
+            rowcap=self.caps.get("hb_row", 0), chunk=chunk))
+        jsm = jax.jit(self._bin_pair_slots) if self.pairk else None
+
         def rebuild(s: State):
-            pos = self._wrap(s.pos, s.H)
-            nbrs = self._build_nbrs(pos, s.H, s.types)
+            pos, nbrs = jwrap_nbrs(s.pos, s.H, s.types)
             lists = ()
             if self.term_cache:
-                bo = reax.bond_order(pos, s.H, s.types, self.img, nbrs,
-                                     self.ffd)
-                amask = jnp.ones(pos.shape[0], bool)
-                al = reax.build_angle_list(
-                    s.types, self.img, nbrs, bo, amask, self.ffd,
-                    cap=self.caps["ang"], ks=self.caps["ks"],
-                    slack=self.term_slack, margin=self.term_margin,
-                    rowcap=self.caps.get("ang_row", 0))
-                tl = reax.build_torsion_list(
-                    s.types, s.gid, self.img, nbrs, bo, amask, self.ffd,
-                    cap=self.caps["tor"], ks=self.caps["ks"],
-                    slack=self.term_slack, margin=self.term_margin,
-                    rowcap=self.caps.get("tor_row", 0))
-                hl = reax.build_hbond_list(
-                    pos, s.H, s.types, self.img, nbrs, bo, amask, self.ffd,
-                    cap=self.caps["hbf"], kh=self.caps["kh"],
-                    slack=self.term_slack, margin=self.term_margin,
-                    rowcap=self.caps.get("hb_row", 0))
+                bo = jbo(pos, s.H, s.types, nbrs)
+                al = jang(s.types, nbrs, bo)
+                tl = jtor(s.types, s.gid, nbrs, bo)
+                hl = jhb(pos, s.H, s.types, nbrs, bo)
                 lists = (al, tl, hl)
-            sm = self._bin_pair_slots(pos, s.H) if self.pairk else ()
+            sm = jsm(pos, s.H) if self.pairk else ()
             return dataclasses.replace(s, pos=pos), nbrs, lists, sm
         return rebuild
 
@@ -733,6 +757,15 @@ class Engine:
         if self.tlists:
             al, tl, hl = self.tlists
             na, nt, nh = int(al.cnt), int(tl.cnt), int(hl.cnt)
+            names = ("ang_row", "tor_row", "hb_row")
+            rows = [nm for nm, c in zip(names, (na, nt, nh))
+                    if c >= reax.ROW_OVERFLOW]
+            if rows:
+                raise RuntimeError(
+                    "interaction-list PER-ROW overflow in "
+                    f"{'/'.join(rows)} — raise the corresponding "
+                    f"*_row capacities (caps={self.caps}); the total "
+                    "ang/tor/hbf caps are not the limiting knob here")
             if (na > al.valid.shape[0] or nt > tl.valid.shape[0]
                     or nh > hl.valid.shape[0]):
                 raise RuntimeError(

@@ -781,6 +781,14 @@ class ShardedEngine:
         if self.term_cache:
             caps = (self.caps["ang"], self.caps["tor"], self.caps["hbf"])
             got = (d[:, 5].max(), d[:, 6].max(), d[:, 7].max())
+            rows = [nm for nm, g in zip(("ang_row", "tor_row", "hb_row"), got)
+                    if g >= reax.ROW_OVERFLOW]
+            if rows:
+                raise RuntimeError(
+                    "interaction-list PER-ROW overflow in "
+                    f"{'/'.join(rows)} — raise the corresponding *_row "
+                    f"capacities (caps={self.caps}); the total ang/tor/hbf "
+                    "caps are not the limiting knob here")
             if any(g > c for g, c in zip(got, caps)):
                 raise RuntimeError(
                     f"interaction-list overflow: angles {got[0]}/{caps[0]} "

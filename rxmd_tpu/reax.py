@@ -908,6 +908,12 @@ def _flat_compact(mask_flat, cap):
     return idx, valid, cnt
 
 
+# sentinel returned as `cnt` by _flat_compact_rows when a single row exceeds
+# its rowcap: distinguishable from a total-capacity overflow so the engine's
+# error message can name the right knob (ang_row/tor_row/hb_row, not ang/tor/hbf)
+ROW_OVERFLOW = 2 ** 30
+
+
 def _flat_compact_rows(mask, cap, rowcap):
     """Two-stage pack of a (R, S) mask into flat R*S indices — output
     identical to `_flat_compact(mask.reshape(-1), cap)` as long as no row
@@ -941,7 +947,49 @@ def _flat_compact_rows(mask, cap, rowcap):
     dst2 = jnp.where(m2, pos2, cap).astype(jnp.int32)
     idx = jnp.zeros((cap,), jnp.int32).at[dst2].set(stage, mode="drop")
     cnt_true = mask.sum(dtype=jnp.int32)
-    cnt = jnp.where(rowmax > rowcap, jnp.int32(2 ** 30), cnt_true)
+    cnt = jnp.where(rowmax > rowcap, jnp.int32(ROW_OVERFLOW), cnt_true)
+    valid = jnp.arange(cap) < cnt
+    return idx, valid, cnt
+
+
+def _flat_compact_mapped(mask_rows_fn, n, S, cap, rowcap, chunk):
+    """Two-stage pack over a VIRTUAL (n, S) mask computed on demand in row
+    chunks: `mask_rows_fn(rows)` returns the (B, S) mask for the given
+    center rows.  Output is identical to
+    `_flat_compact_rows(stack_of_all_rows, cap, rowcap)`, but the (n, S)
+    mask and its stage-1 intermediates never exist at once — peak
+    footprint is (chunk, S), which keeps the torsion/hbond list builds
+    inside the TPU compile service's limits at production N
+    (SCALING.md "Large-N status": the one-shot build crashes the worker
+    at N >= 16.8k)."""
+    B = int(min(chunk, n))
+    nblk = -(-n // B)
+    npad = nblk * B
+    rows_blocks = jnp.arange(npad, dtype=jnp.int32).reshape(nblk, B)
+    aS = jnp.arange(S, dtype=jnp.int32)
+    aB = jnp.arange(B, dtype=jnp.int32)
+
+    def body(rows):
+        ok_row = rows < n
+        m = mask_rows_fn(jnp.minimum(rows, n - 1)) & ok_row[:, None]
+        posr = jnp.cumsum(m, axis=1, dtype=jnp.int32) - 1
+        src = rows[:, None] * S + aS[None, :]
+        dst = jnp.where(m & (posr < rowcap),
+                        aB[:, None] * rowcap + posr, B * rowcap)
+        stage = jnp.full((B * rowcap,), -1, jnp.int32
+                         ).at[dst.reshape(-1)].set(src.reshape(-1),
+                                                   mode="drop")
+        return stage.reshape(B, rowcap), posr[:, -1] + 1
+
+    stages, rowcnts = jax.lax.map(body, rows_blocks)
+    stage = stages.reshape(npad * rowcap)
+    m2 = stage >= 0
+    pos2 = jnp.cumsum(m2, dtype=jnp.int32) - 1
+    dst2 = jnp.where(m2, pos2, cap).astype(jnp.int32)
+    idx = jnp.zeros((cap,), jnp.int32).at[dst2].set(stage, mode="drop")
+    cnt_true = rowcnts.sum(dtype=jnp.int32)          # pad rows count 0
+    cnt = jnp.where(rowcnts.max() > rowcap, jnp.int32(ROW_OVERFLOW),
+                    cnt_true)
     valid = jnp.arange(cap) < cnt
     return idx, valid, cnt
 
@@ -1170,47 +1218,44 @@ def _unit_cross(u, v, mask):
     return c, jnp.maximum(nrm, units.NSMALL)
 
 
-def _torsion_mask(types, gid, img, nbrs, bo: BondOrder, amask, ffd: FFDev,
-                  ks: int = 12, slack: float = 1.0, margin: float = 0.0):
-    """Compact (n, a, c, e) torsion validity mask over candidate sublists,
-    on stop-gradient data (all reference enumeration gates,
-    ref: pot.F90:1019-1081).  Axes index the per-atom candidate lists;
-    returns (mask, sslot, svalid) for mapping back to original slots."""
-    n, kb = nbrs.idxb.shape
-    esub = units.CUTOF2_ESUB * slack
-    row = jnp.arange(n)[:, None]
-
-    sslot, svalid, _, bo_eff, oj, idx = _term_candidates(
-        types, img, nbrs, bo, ffd, ks, slack, margin)
+def _torsion_mask_rows(rows, cand, types, gid, img, bo: BondOrder, amask,
+                       ffd: FFDev, slack: float):
+    """(B, a, c, e) torsion validity for the given center rows, over the
+    global candidate tables `cand` (from _term_candidates).  Row-separable
+    by construction: the l-side indexes the GLOBAL tables through oj_s, so
+    any subset of rows yields exactly the corresponding mask rows — the
+    basis of the chunked large-N build (SCALING.md)."""
+    sslot, svalid, _, bo_eff, oj, idx = cand
     ks = sslot.shape[1]
-    bo_s = bo_eff[row, sslot]                          # (n, ks)
-    idx_s = idx[row, sslot]                            # ext index per slot
-    oj_s = oj[row, sslot]                              # owner rows
+    esub = units.CUTOF2_ESUB * slack
+    r = rows[:, None]
+    sslot_r = sslot[rows]                              # (B, ks)
+    svalid_r = svalid[rows]
+    bo_s = bo_eff[r, sslot_r]                          # (B, ks)
+    idx_s = idx[r, sslot_r]                            # ext index per slot
+    oj_s = oj[r, sslot_r]                              # owner rows (global)
     key_ext = _ext_key(img)
 
     # l-side: candidate slots of owner(k), translated by k's shift
-    sslot_l = sslot[oj_s]                              # (n, c, e)
+    sslot_l = sslot[oj_s]                              # (B, c, e)
     svalid_l = svalid[oj_s]
     bo_kl = bo_eff[oj_s[:, :, None], sslot_l]
     idx_le = idx[oj_s[:, :, None], sslot_l]            # ext index of l
-    shift_k = img.shift[idx_s]                         # (n, c, 3)
+    shift_k = img.shift[idx_s]                         # (B, c, 3)
     key_l = (img.owner_of(idx_le).astype(jnp.int32) * 729
              + _shift_code(img.shift[idx_le] + shift_k[:, :, None, :]))
 
     def A(x):
         return x[:, :, None, None]
 
-    def C(x):
-        return x[:, None, :, None]
-
     def E(x):
         return x[:, None, :, :]
 
-    mask_jk = svalid & (gid[:, None] < gid[oj_s]) & amask[:, None]
+    mask_jk = svalid_r & (gid[rows][:, None] < gid[oj_s]) & amask[rows][:, None]
     same_ik = (jnp.arange(ks)[:, None]
                == jnp.arange(ks)[None, :])[None, :, :, None]
-    key_j = (jnp.arange(n) * 729 + _shift_code(jnp.zeros(3)))[:, None, None]
-    mask4 = (A(svalid) & C(mask_jk) & E(svalid_l)
+    key_j = (rows * 729 + _shift_code(jnp.zeros(3)))[:, None, None]
+    mask4 = (A(svalid_r) & mask_jk[:, None, :, None] & E(svalid_l)
              & (bo_s[:, :, None, None] * bo_s[:, None, :, None] > esub)
              & (bo_s[:, None, :, None] * E(bo_kl) > esub)
              & ~same_ik
@@ -1221,36 +1266,61 @@ def _torsion_mask(types, gid, img, nbrs, bo: BondOrder, amask, ffd: FFDev,
     # torsion-type existence on the (a,c,e) grid: a 7.8M-element 4-D table
     # gather costs ~60 ms on TPU; a row gather over (c,e) plus a one-hot MXU
     # contraction over the i-type axis costs ~5 ms.
-    ti_s = types[oj_s]                                  # (n, ks)
-    tle = types[img.owner_of(idx_le)]                   # (n, c, e)
+    ti_s = types[oj_s]                                  # (B, ks)
+    tle = types[img.owner_of(idx_le)]                   # (B, c, e)
     t4okT = jnp.moveaxis(ffd.t4ok, 0, -1)               # (j, k, l, i-type)
-    X = t4okT[types[:, None, None], ti_s[:, :, None], tle]  # (n, c, e, nso)
+    X = t4okT[types[rows][:, None, None], ti_s[:, :, None], tle]
     ioh = jax.nn.one_hot(ti_s, ffd.t4ok.shape[0], dtype=X.dtype)
     exists4 = jnp.einsum("nax,ncex->nace", ioh, X,
                          preferred_element_type=X.dtype) > 0.5
-    mask4 = mask4 & exists4
-    return mask4, sslot, svalid
+    return mask4 & exists4
+
+
+def _torsion_mask(types, gid, img, nbrs, bo: BondOrder, amask, ffd: FFDev,
+                  ks: int = 12, slack: float = 1.0, margin: float = 0.0):
+    """Compact (n, a, c, e) torsion validity mask over candidate sublists,
+    on stop-gradient data (all reference enumeration gates,
+    ref: pot.F90:1019-1081).  Axes index the per-atom candidate lists;
+    returns (mask, sslot, svalid) for mapping back to original slots."""
+    n, kb = nbrs.idxb.shape
+    cand = _term_candidates(types, img, nbrs, bo, ffd, ks, slack, margin)
+    mask4 = _torsion_mask_rows(jnp.arange(n), cand, types, gid, img, bo,
+                               amask, ffd, slack)
+    return mask4, cand[0], cand[1]
 
 
 def build_torsion_list(types, gid, img, nbrs, bo: BondOrder, amask,
                        ffd: FFDev, cap: int = 8192, ks: int = 12,
                        slack: float = 1.0, margin: float = 0.0,
-                       rowcap: int = 0) -> TorsionList:
+                       rowcap: int = 0, chunk: int = 0) -> TorsionList:
     """Compact flat torsion list (ref enumeration: pot.F90:1019-1081).
 
     Center j, bond c -> k (counted once via gid(j) < gid(k)), slot a -> i in
     j's list, slot e -> l in owner(k)'s list.  `cap` is the TOTAL entry
-    capacity across all atoms.
+    capacity across all atoms.  `chunk` > 0 (with rowcap > 0) computes the
+    candidate mask in row chunks of that size (bit-identical output,
+    bounded peak memory/compile size — the large-N path).
     """
     n, kb = nbrs.idxb.shape
-    mask4, sslot, svalid = _torsion_mask(types, gid, img, nbrs, bo, amask,
-                                         ffd, ks, slack, margin)
-    ks = sslot.shape[1]
-    if rowcap > 0:
-        fidx, valid, cnt = _flat_compact_rows(mask4.reshape(n, -1), cap,
-                                              rowcap)
+    if chunk > 0 and rowcap > 0:
+        cand = _term_candidates(types, img, nbrs, bo, ffd, ks, slack,
+                                margin)
+        sslot = cand[0]
+        ks = sslot.shape[1]
+        fidx, valid, cnt = _flat_compact_mapped(
+            lambda rows: _torsion_mask_rows(
+                rows, cand, types, gid, img, bo, amask, ffd,
+                slack).reshape(rows.shape[0], -1),
+            n, ks * ks * ks, cap, rowcap, chunk)
     else:
-        fidx, valid, cnt = _flat_compact(mask4.reshape(-1), cap)
+        mask4, sslot, svalid = _torsion_mask(types, gid, img, nbrs, bo,
+                                             amask, ffd, ks, slack, margin)
+        ks = sslot.shape[1]
+        if rowcap > 0:
+            fidx, valid, cnt = _flat_compact_rows(mask4.reshape(n, -1), cap,
+                                                  rowcap)
+        else:
+            fidx, valid, cnt = _flat_compact(mask4.reshape(-1), cap)
     j = fidx // (ks * ks * ks)
     s = fidx % (ks * ks * ks)
     a = sslot[j, s // (ks * ks)]
@@ -1374,13 +1444,12 @@ class HBondList(NamedTuple):
     cnt: jax.Array      # () true candidate count (overflow surfaced)
 
 
-def _hbond_mask(pos, H, types, img, nbrs, bo: BondOrder, amask, ffd: FFDev,
-                kh: int, slack: float = 1.0, margin: float = 0.0):
-    """(n, kh, knb) hbond candidate validity over compacted H slots
-    (ref enumeration: pot.F90:587-631; donor i, central H j bonded to i,
-    acceptor k from i's nonbonded list within rchb)."""
-    n, kb = nbrs.idxb.shape
-    kh = min(kh, kb)
+def _hbond_tables(pos, H, types, img, nbrs, bo: BondOrder, amask,
+                  ffd: FFDev, kh: int, slack: float):
+    """Global per-atom tables shared by the one-shot and chunked hbond
+    builds: compacted central-H slots, nonbonded indices, ext positions,
+    acceptor types."""
+    kh = min(kh, nbrs.idxb.shape[1])
     maskb = bo.mask
     idxb = jnp.where(maskb, nbrs.idxb, 0)
     tj = types[img.owner_of(idxb)]
@@ -1388,50 +1457,85 @@ def _hbond_mask(pos, H, types, img, nbrs, bo: BondOrder, amask, ffd: FFDev,
     mask_ij = (maskb & (tj == ffd.h_type)
                & (bo0_sg > units.MINBO0 * slack) & amask[:, None])
     hslot, hvalid, _ = _row_topk_slots(mask_ij, kh)
-    row = jnp.arange(n)[:, None]
+    row = jnp.arange(maskb.shape[0])[:, None]
     idx_h = idxb[row, hslot]
     th = tj[row, hslot]
     idxnb = jnp.where(nbrs.masknb, nbrs.idxnb, 0)
     pose = jax.lax.stop_gradient(ext_positions(pos, H, img))
-    rik = jax.lax.stop_gradient(pos)[:, None, :] - pose[idxnb]
+    tk = types[img.owner_of(idxnb)]                        # (n, knb)
+    return hslot, hvalid, idx_h, th, idxnb, pose, tk
+
+
+def _hbond_mask(pos, H, types, img, nbrs, bo: BondOrder, amask, ffd: FFDev,
+                kh: int, slack: float = 1.0, margin: float = 0.0):
+    """(n, kh, knb) hbond candidate validity over compacted H slots
+    (ref enumeration: pot.F90:587-631; donor i, central H j bonded to i,
+    acceptor k from i's nonbonded list within rchb)."""
+    tab = _hbond_tables(pos, H, types, img, nbrs, bo, amask, ffd, kh, slack)
+    hslot, hvalid, idx_h, th, idxnb, pose, tk = tab
+    n = nbrs.idxb.shape[0]
+    m = _hbond_rows_m(jnp.arange(n), tab, pos, types, nbrs, ffd, margin)
+    return m, hslot, tk
+
+
+def _hbond_rows_m(rows, tab, pos, types, nbrs, ffd: FFDev, margin: float):
+    """(B, kh, knb) mask for the given donor rows (see _hbond_mask)."""
+    hslot, hvalid, idx_h, th, idxnb, pose, tk = tab
+    hvalid_r = hvalid[rows]
+    idx_h_r = idx_h[rows]
+    th_r = th[rows]
+    idxnb_r = idxnb[rows]
+    masknb_r = nbrs.masknb[rows]
+    tk_r = tk[rows]
+    rik = jax.lax.stop_gradient(pos)[rows][:, None, :] - pose[idxnb_r]
     rik2 = jnp.sum(rik * rik, axis=-1)
     rchb2_m = (float(np.sqrt(units.RCHB2)) + margin) ** 2
-    # acceptor-type existence via a one-hot MXU contraction; the full
-    # (n, kh, knb) inxn3hb gather is ~10x slower on TPU (cf. e_hbond)
-    tk = types[img.owner_of(idxnb)]                        # (n, knb)
     nso = ffd.hbok.shape[0]
-    # acceptor one-hot laid out (n, nso, knb), NOT (n, knb, nso): the TPU
+    # acceptor one-hot laid out (B, nso, knb), NOT (B, knb, nso): the TPU
     # tiles the two minor dims to (8, 128), so an nso(~8)-minor buffer
     # inflates ~16x when materialized as an einsum operand (6 GB at
     # N=16.8k — enough to kill the worker; cf. SCALING.md large-N status)
-    tkoh = (tk[:, None, :] == jnp.arange(nso)[:, None]).astype(pos.dtype)
-    hbrow = ffd.hbok[types[:, None], th]                   # (n, kh, nso)
+    tkoh = (tk_r[:, None, :] == jnp.arange(nso)[:, None]).astype(pos.dtype)
+    hbrow = ffd.hbok[types[rows][:, None], th_r]           # (B, kh, nso)
     ok_t = jnp.einsum("nck,nhc->nhk", tkoh, hbrow,
                       preferred_element_type=pos.dtype) > 0.5
-    m = (hvalid[:, :, None] & nbrs.masknb[:, None, :] & ok_t
-         & (idx_h[:, :, None] != idxnb[:, None, :])
-         & (rik2 < rchb2_m)[:, None, :])
-    return m, hslot, tk
+    return (hvalid_r[:, :, None] & masknb_r[:, None, :] & ok_t
+            & (idx_h_r[:, :, None] != idxnb_r[:, None, :])
+            & (rik2 < rchb2_m)[:, None, :])
 
 
 def build_hbond_list(pos, H, types, img, nbrs, bo: BondOrder, amask,
                      ffd: FFDev, cap: int = 1024, kh: int = 4,
                      slack: float = 1.0, margin: float = 0.0,
-                     rowcap: int = 0) -> HBondList:
-    """Compact flat hbond list; `cap` is the TOTAL entry capacity."""
+                     rowcap: int = 0, chunk: int = 0) -> HBondList:
+    """Compact flat hbond list; `cap` is the TOTAL entry capacity.
+    `chunk` > 0 (with rowcap > 0) computes the candidate mask in row
+    chunks (bit-identical output, bounded peak memory — large-N path)."""
     n, kb = nbrs.idxb.shape
     if ffd.r0hb.shape[0] == 0:
         z = jnp.zeros((cap,), jnp.int32)
         return HBondList(i=z, a=z, c=z, prm=jnp.zeros((cap, 4), pos.dtype),
                          valid=jnp.zeros((cap,), bool), cnt=jnp.int32(0))
-    m, hslot, tk = _hbond_mask(pos, H, types, img, nbrs, bo, amask, ffd,
-                               kh, slack, margin)
-    kh = hslot.shape[1]
     knb = nbrs.idxnb.shape[1]
-    if rowcap > 0:
-        fidx, valid, cnt = _flat_compact_rows(m.reshape(n, -1), cap, rowcap)
+    if chunk > 0 and rowcap > 0:
+        tab = _hbond_tables(pos, H, types, img, nbrs, bo, amask, ffd, kh,
+                            slack)
+        hslot, tk = tab[0], tab[6]
+        kh = hslot.shape[1]
+        fidx, valid, cnt = _flat_compact_mapped(
+            lambda rows: _hbond_rows_m(
+                rows, tab, pos, types, nbrs, ffd,
+                margin).reshape(rows.shape[0], -1),
+            n, kh * knb, cap, rowcap, chunk)
     else:
-        fidx, valid, cnt = _flat_compact(m.reshape(-1), cap)
+        m, hslot, tk = _hbond_mask(pos, H, types, img, nbrs, bo, amask,
+                                   ffd, kh, slack, margin)
+        kh = hslot.shape[1]
+        if rowcap > 0:
+            fidx, valid, cnt = _flat_compact_rows(m.reshape(n, -1), cap,
+                                                  rowcap)
+        else:
+            fidx, valid, cnt = _flat_compact(m.reshape(-1), cap)
     i = fidx // (kh * knb)
     s = fidx % (kh * knb)
     a_h = s // knb

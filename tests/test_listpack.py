@@ -45,6 +45,31 @@ def test_flat_compact_rows_overflow_sentinel():
     mask = jnp.ones((4, 9), bool)
     _, _, cnt = reax._flat_compact_rows(mask, cap=64, rowcap=3)
     assert int(cnt) > 64          # sentinel trips every cnt > cap check
+    # the sentinel is distinguishable from a total-cap overflow so the
+    # engine can direct the user at the *_row caps, not ang/tor/hbf
+    assert int(cnt) == reax.ROW_OVERFLOW
+
+
+@pytest.mark.parametrize("which", ["torsion", "hbond"])
+@pytest.mark.parametrize("chunk", [7, 64])
+def test_builders_identical_chunked(setup, which, chunk):
+    """Row-chunked (lax.map) builds — the large-N path that keeps the
+    torsion/hbond builds inside the TPU compile service's limits
+    (SCALING.md) — must be bit-identical to the one-shot build."""
+    st, ffd, img, nbrs, bo, amask, tc = setup
+    ks = tc["degmax"] + 2
+    if which == "torsion":
+        mk = lambda ch: reax.build_torsion_list(
+            st.types, st.gid, img, nbrs, bo, amask, ffd, cap=4096, ks=ks,
+            rowcap=tc["tor_row"] + 4, chunk=ch)
+    else:
+        mk = lambda ch: reax.build_hbond_list(
+            st.pos, st.H, st.types, img, nbrs, bo, amask, ffd, cap=4096,
+            kh=max(tc["h_slots"], 2), rowcap=tc["hb"] + 4, chunk=ch)
+    l0, l1 = mk(0), mk(chunk)
+    assert int(l0.cnt) > 0
+    for a, b in zip(l0, l1):
+        assert jnp.array_equal(a, b)
 
 
 @pytest.mark.parametrize("which", ["angle", "torsion", "hbond"])
