@@ -111,11 +111,19 @@ def main(argv=None):
             print("structural optimization finished")
             return 0
 
+        # pdb/bnd writers need the gathered state; xyz/bin have scalable
+        # per-process slab writers (the MPI-IO analog, fileio.F90:81-95),
+        # so only gather when a gather-only format was requested
+        need_gather = cfg.is_pdb or cfg.is_bondfile
+
         def swriter(e):
+            base = os.path.join(cfg.data_dir, f"{e.step_count:09d}")
+            if not need_gather:
+                e.write_frame_slab(base)    # every process writes its slab
+                return
             stg = e.to_state()          # cross-host collective: all ranks
             if not p0:
                 return
-            base = os.path.join(cfg.data_dir, f"{e.step_count:09d}")
             e.write_frame(base, st=stg)
 
         eng.run(cfg.ntime_step, log=print,

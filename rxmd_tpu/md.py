@@ -322,7 +322,9 @@ class Engine:
             valid = jnp.ones(pose.shape[0], bool)
             nbrs, _ = neighbors.build_neighbors_cells(
                 pose, valid, types[self.img.owner], self.grid, self.rc2b_ext,
-                self.rctap2_ext, self.kb, self.knb, nrows=pos.shape[0])
+                self.rctap2_ext, self.kb, self.knb, nrows=pos.shape[0],
+                row_chunk=(self.cfg.list_chunk
+                           if 0 < self.cfg.list_chunk < pos.shape[0] else 0))
             return nbrs
         return neighbors.build_neighbors_brute(
             pos, H, types, self.img, self.rc2b_ext, self.rctap2_ext,

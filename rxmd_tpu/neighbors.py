@@ -286,21 +286,28 @@ def _cell_table_packed(pos, valid, types, grid: CellGrid):
             slot_idx[:-1].reshape(ctot, ccap), cid3, occ_overflow)
 
 
-@functools.partial(jax.jit, static_argnames=("grid", "kb", "knb", "nrows"))
+@functools.partial(jax.jit, static_argnames=("grid", "kb", "knb", "nrows",
+                                             "row_chunk"))
 def build_neighbors_cells(pos, valid, types, grid: CellGrid, rc2_by_type,
-                          rctap2, kb: int, knb: int, nrows: int = None):
+                          rctap2, kb: int, knb: int, nrows: int = None,
+                          row_chunk: int = 0):
     """O(M) cell-list neighbor build over an extended atom set.
 
     `pos` are real coordinates inside [grid.lo, grid.lo+extent); `valid`
     masks live entries.  Returns Neighbors with rows for the first `nrows`
     entries (all by default) — the single-device image mode only needs rows
     for the owned atoms, the sharded mode needs rows for ghosts too.
-    """
+
+    `row_chunk` > 0 computes the candidate sweep in target-row blocks of
+    that size (lax.map): the one-shot sweep materializes the stencil
+    payload gather for ALL rows at once, and the TPU's (8,128) tiling
+    pads its (ccap, 4)-minor layout ~10x — 15 GB of HBM at N=25.2k
+    (SCALING.md "Large-N status").  Chunking bounds it to the block.
+    Output is identical."""
     m = pos.shape[0]
     nrows = nrows or m
     slot_pay, slot_idx, cid3, overflow = _cell_table_packed(
         pos, jnp.where(valid, jnp.ones(m, bool), False), types, grid)
-    rowsl = slice(0, nrows)
     nc = np.array(grid.ncells)
     ctot = int(np.prod(nc))
     ccap = grid.ccap
@@ -310,38 +317,56 @@ def build_neighbors_cells(pos, valid, types, grid: CellGrid, rc2_by_type,
     slot_idx = jnp.concatenate(
         [slot_idx, jnp.full((1, ccap), -1, jnp.int32)])
     nso = rc2_by_type.shape[0]
-    rc2row = rc2_by_type[types[rowsl]]                  # (nrows, nso)
 
-    def lists(stencil, bonded, cap):
+    def lists(rows, stencil, bonded, cap):
+        B = rows.shape[0]
         offs = jnp.asarray(np.array(stencil, np.int32))
-        nb3 = cid3[rowsl, None, :] + offs[None, :, :]   # (nrows, S, 3)
+        nb3 = cid3[rows][:, None, :] + offs[None, :, :]   # (B, S, 3)
         oob = ((nb3 < 0) | (nb3 >= jnp.asarray(nc))).any(axis=-1)
         nbc = (nb3[..., 0] * nc[1] + nb3[..., 1]) * nc[2] + nb3[..., 2]
         nbc = jnp.where(oob, ctot, nbc)
         S = offs.shape[0]
-        pay = slot_pay[nbc].reshape(nrows, S * ccap, 4)     # coarse gather
-        cand = slot_idx[nbc].reshape(nrows, S * ccap)
-        d = pos[rowsl, None, :] - pay[..., :3]
+        pay = slot_pay[nbc].reshape(B, S * ccap, 4)       # coarse gather
+        cand = slot_idx[nbc].reshape(B, S * ccap)
+        d = pos[rows][:, None, :] - pay[..., :3]
         dr2 = jnp.sum(d * d, axis=-1)
         if bonded:
             # per-pair sigma-bond cutoff via a one-hot contraction on the
-            # packed neighbor type (no (nrows, C) small-table gather)
+            # packed neighbor type (no (B, C) small-table gather)
             tjoh = (pay[..., 3, None]
                     == jnp.arange(nso, dtype=pos.dtype)).astype(pos.dtype)
-            rc2p = jnp.einsum("nck,nk->nc", tjoh, rc2row,
+            rc2p = jnp.einsum("nck,nk->nc", tjoh, rc2_by_type[types[rows]],
                               preferred_element_type=pos.dtype)
             inr = dr2 < rc2p
         else:
             inr = dr2 <= rctap2
-        mask = inr & (cand != jnp.arange(nrows)[:, None])
+        mask = inr & (cand != rows[:, None])
         slot = _select_k(mask, cap)                    # positions in cand row
         idx = jnp.where(slot >= 0,
                         jnp.take_along_axis(cand, jnp.maximum(slot, 0),
                                             axis=1), -1)
         return idx.astype(jnp.int32), mask.sum(axis=1, dtype=jnp.int32)
 
-    idxb, cntb = lists(grid.stencil_b, True, kb)
-    idxnb, cntnb = lists(grid.stencil_nb, False, knb)
+    if 0 < row_chunk < nrows:
+        nblk = -(-nrows // int(row_chunk))
+        B = -(-nrows // nblk)        # balanced blocks: waste < nblk rows
+        blocks = jnp.arange(nblk * B, dtype=jnp.int32).reshape(nblk, B)
+
+        def body(rows):
+            rc = jnp.minimum(rows, nrows - 1)      # pad rows recompute n-1;
+            ib, cb = lists(rc, grid.stencil_b, True, kb)       # sliced off
+            inb_, cnb = lists(rc, grid.stencil_nb, False, knb)
+            return ib, cb, inb_, cnb
+
+        ib, cb, inb_, cnb = jax.lax.map(body, blocks)
+        idxb = ib.reshape(nblk * B, kb)[:nrows]
+        cntb = cb.reshape(nblk * B)[:nrows]
+        idxnb = inb_.reshape(nblk * B, knb)[:nrows]
+        cntnb = cnb.reshape(nblk * B)[:nrows]
+    else:
+        rows = jnp.arange(nrows, dtype=jnp.int32)
+        idxb, cntb = lists(rows, grid.stencil_b, True, kb)
+        idxnb, cntnb = lists(rows, grid.stencil_nb, False, knb)
     return Neighbors(idxb=idxb, cntb=cntb, idxnb=idxnb, cntnb=cntnb), overflow
 
 

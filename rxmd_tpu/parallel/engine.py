@@ -418,7 +418,9 @@ class ShardedEngine:
         pos_rel = (frac_ext - mylo[None, :]) @ self.Hg.T
         nbrs, cell_ovf = neighbors.build_neighbors_cells(
             pos_rel, valid_ext, tex, self.grid, self.rc2b_ext,
-            self.rctap2_ext, self.kb, self.knb)
+            self.rctap2_ext, self.kb, self.knb,
+            row_chunk=(self.cfg.list_chunk
+                       if 0 < self.cfg.list_chunk < self.mext else 0))
 
         lists = ()
         cnts = [jnp.int32(0)] * 3
@@ -431,16 +433,21 @@ class ShardedEngine:
                 ks=self.caps["ks"], slack=self.term_slack,
                 margin=self.term_margin,
                 rowcap=self.caps.get("ang_row", 0))
+            # row-chunked builds above list_chunk local rows: the one-shot
+            # torsion/hbond builds crash the TPU compile service at large
+            # N (SCALING.md); chunking is bit-identical
+            chunk = (self.cfg.list_chunk
+                     if 0 < self.cfg.list_chunk < self.mext else 0)
             tl = reax.build_torsion_list(
                 tex, gex, img, nbrs, bo, amask, self.ffd,
                 cap=self.caps["tor"], ks=self.caps["ks"],
                 slack=self.term_slack, margin=self.term_margin,
-                rowcap=self.caps.get("tor_row", 0))
+                rowcap=self.caps.get("tor_row", 0), chunk=chunk)
             hl = reax.build_hbond_list(
                 pos_rel, self.Hg, tex, img, nbrs, bo, amask, self.ffd,
                 cap=self.caps["hbf"], kh=self.caps["kh"],
                 slack=self.term_slack, margin=self.term_margin,
-                rowcap=self.caps.get("hb_row", 0))
+                rowcap=self.caps.get("hb_row", 0), chunk=chunk)
             cnts = [al.cnt, tl.cnt, hl.cnt]
             # scalar leaves can't ride the stacked block sharding
             lists = tuple(x._replace(cnt=x.cnt[None]) for x in (al, tl, hl))
@@ -954,7 +961,9 @@ class ShardedEngine:
             pos_rel = (frac_ext - mylo[None, :]) @ self.Hg.T
             nbrs, _ = neighbors.build_neighbors_cells(
                 pos_rel, valid_ext, tex, self.grid, self.rc2b_ext,
-                self.rctap2_ext, self.kb, self.knb)
+                self.rctap2_ext, self.kb, self.knb,
+                row_chunk=(self.cfg.list_chunk
+                           if 0 < self.cfg.list_chunk < self.mext else 0))
             out = self._compute(s, tex, gex, plan, nbrs, (), True,
                                 prep=(self.cfg.isQEq == 2))
             q, _qsfp, _qsfv, _spos, f, comps, _w, _nq = out

@@ -310,7 +310,10 @@ class NbCtx(NamedTuple):
     mask: jax.Array     # (n, knb) slot valid & within taper & live row
     notself: jax.Array  # (n, knb) excludes periodic self-images (gid rule,
                         # ref: pot.F90:715) — QEq keeps them, ENbond drops
-    dr: jax.Array       # (n, knb, 3) r_i - r_j  (stop-gradient)
+    dr: jax.Array       # (3, n, knb) r_i - r_j, CHANNEL-MAJOR (stop-grad):
+                        # an (n*knb, 3)-shaped buffer tiles its minor dim
+                        # 3 -> 128 on TPU (42.7x padded HBM — 12 GB at
+                        # N=36k, SCALING.md); channel-major tiles cleanly
     dr2: jax.Array      # (n, knb)
     qj: jax.Array       # (n, knb)
     tjf: jax.Array      # (n, knb) neighbor type as float (gathered col)
@@ -385,8 +388,10 @@ def nb_ctx(pos, q, H, types, img: ImageTable, nbrs: Neighbors, gid, amask,
     masks = nbrs.masknb
     idx = jnp.where(masks, nbrs.idxnb, 0)
     rows = packed[idx]                       # (n, knb, 4|5): the ONE gather
-    dr = pos[:, None, :] - rows[..., :3]
-    dr2 = jnp.sum(dr * dr, axis=-1)
+    # channel-major displacements: (3, n, knb) tiles cleanly; (n, knb, 3)
+    # would materialize with its minor dim padded 3 -> 128 (42.7x HBM)
+    dr = jnp.moveaxis(pos[:, None, :] - rows[..., :3], -1, 0)
+    dr2 = jnp.sum(dr * dr, axis=0)
     qj = rows[..., 3] if q is not None else None
     tjf = rows[..., -1]
     if S > 1:
@@ -580,8 +585,9 @@ def _table_rows(ffd: FFDev, bc, dr2, mask):
 def _pair_virial(ffac, dr):
     """Pair virial W_ab = -dE/deps_ab over directed rows: each undirected
     pair appears twice, hence the 0.5 (the TPU analog of the reference's
-    Σ pos·f accumulation incl. ghost rows, pot.F90:65-72)."""
-    return -0.5 * jnp.einsum("nk,nka,nkb->ab", ffac, dr, dr,
+    Σ pos·f accumulation incl. ghost rows, pot.F90:65-72).  `dr` is
+    channel-major (3, n, knb)."""
+    return -0.5 * jnp.einsum("nk,ank,bnk->ab", ffac, dr, dr,
                              preferred_element_type=dr.dtype)
 
 
@@ -605,7 +611,8 @@ def nonbond_tbl_energy_forces(ctx: NbCtx, q, types, amask, ffd: FFDev,
     evdw = 0.5 * jnp.sum(jnp.where(m, rows[..., 0], 0.0))
     eclmb = 0.5 * jnp.sum(jnp.where(m, rows[..., 1] * qq, 0.0))
     ffac = jnp.where(m, rows[..., 2] + rows[..., 3] * qq, 0.0)
-    f = -jnp.sum(ffac[..., None] * ctx.dr, axis=1)
+    f = -jnp.einsum("nk,ank->na", ffac, ctx.dr,
+                    preferred_element_type=ffac.dtype)
     echarge = jnp.sum(jnp.where(
         amask,
         units.CECHRGE * (ffd.chi[types] * q + 0.5 * ffd.eta[types] * q * q),
@@ -631,7 +638,8 @@ def nonbond_cf_energy_forces(ctx: NbCtx, q, types, amask, ffd: FFDev,
     evdw = 0.5 * jnp.sum(jnp.where(m, evdw_p, 0.0))
     eclmb = 0.5 * jnp.sum(jnp.where(m, eclmb1 * qq, 0.0))
     ffac = jnp.where(m, devdw + declmb1 * qq, 0.0)
-    f = -jnp.sum(ffac[..., None] * ctx.dr, axis=1)
+    f = -jnp.einsum("nk,ank->na", ffac, ctx.dr,
+                    preferred_element_type=ffac.dtype)
     echarge = jnp.sum(jnp.where(
         amask,
         units.CECHRGE * (ffd.chi[types] * q + 0.5 * ffd.eta[types] * q * q),
@@ -962,8 +970,8 @@ def _flat_compact_mapped(mask_rows_fn, n, S, cap, rowcap, chunk):
     inside the TPU compile service's limits at production N
     (SCALING.md "Large-N status": the one-shot build crashes the worker
     at N >= 16.8k)."""
-    B = int(min(chunk, n))
-    nblk = -(-n // B)
+    nblk = -(-n // int(min(chunk, n)))
+    B = -(-n // nblk)            # balanced blocks: waste < nblk rows
     npad = nblk * B
     rows_blocks = jnp.arange(npad, dtype=jnp.int32).reshape(nblk, B)
     aS = jnp.arange(S, dtype=jnp.int32)

@@ -72,6 +72,28 @@ def test_builders_identical_chunked(setup, which, chunk):
         assert jnp.array_equal(a, b)
 
 
+def test_neighbor_build_identical_chunked(setup):
+    """Row-chunked cell neighbor build (the large-N path bounding the
+    stencil gather's padded footprint, SCALING.md) must match the
+    one-shot build exactly."""
+    st, ffd, img, nbrs, bo, amask, tc = setup
+    H = np.asarray(st.H)
+    L = np.diag(H)
+    nimg = np.array(neighbors.nimg_for_cutoff(H, units.RCTAP0))
+    grid = neighbors.make_cell_grid(-nimg * L, (1.0 + nimg) * L, 3.2,
+                                    units.RCTAP0)
+    pose = neighbors.ext_positions(st.pos, st.H, img)
+    valid = jnp.ones(pose.shape[0], bool)
+    a, _ = neighbors.build_neighbors_cells(
+        pose, valid, st.types[img.owner], grid, ffd.rc2b, ffd.rctap2,
+        20, 512, nrows=st.n)
+    b, _ = neighbors.build_neighbors_cells(
+        pose, valid, st.types[img.owner], grid, ffd.rc2b, ffd.rctap2,
+        20, 512, nrows=st.n, row_chunk=37)
+    for x, y in zip(a, b):
+        assert jnp.array_equal(x, y)
+
+
 @pytest.mark.parametrize("which", ["angle", "torsion", "hbond"])
 def test_builders_identical_under_rowcap(setup, which):
     st, ffd, img, nbrs, bo, amask, tc = setup
