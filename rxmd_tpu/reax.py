@@ -662,6 +662,44 @@ class BondOrder(NamedTuple):
                          # the shared geometry table for all many-body terms
 
 
+@jax.custom_vjp
+def _rowtake(tab, idx):
+    """Row gather `tab[idx]` with BOTH directions pinned to the TPU's fast
+    tiled paths.  A gather or its VJP scatter-add embedded inside an XLA
+    fusion lowers to a serial scalar loop (~1 ms at 100k rows, measured);
+    standalone they cost ~0.02 ms.  Optimization barriers around the
+    backward scatter keep XLA from re-fusing it."""
+    return jax.lax.optimization_barrier(
+        jax.lax.optimization_barrier(tab)[idx])
+
+
+def _rowtake_fwd(tab, idx):
+    return _rowtake(tab, idx), (idx, tab.shape)
+
+
+def _rowtake_bwd(res, ct):
+    idx, shape = res
+    ct = jax.lax.optimization_barrier(ct)
+    g = jnp.zeros(shape, ct.dtype).at[idx].add(ct)
+    return jax.lax.optimization_barrier(g), np.zeros(idx.shape,
+                                                     jax.dtypes.float0)
+
+
+_rowtake.defvjp(_rowtake_fwd, _rowtake_bwd)
+
+
+def _rowgather2(veca, vecb, idx):
+    """Gather TWO per-atom vectors to pair slots with one 2-column
+    row-gather behind an optimization barrier: the row form lowers to the
+    TPU's tiled gather (~0.05 ms at 127k pairs), while a flat 1-D gather
+    embedded in a fusion lowers to a serial scalar loop (~1.7 ms measured);
+    cf. ctx_qj.  The barrier stops XLA from re-fusing (and re-serializing)
+    the gather into its consumers."""
+    pack = jax.lax.optimization_barrier(jnp.stack([veca, vecb], axis=1))
+    rows = _rowtake(pack, idx)
+    return rows[..., 0], rows[..., 1]
+
+
 def bond_order(pos, H, types, img: ImageTable, nbrs: Neighbors,
                ffd: FFDev) -> BondOrder:
     """BO' then corrected BO per directed bonded pair (ref: bo.F90:28-298).
@@ -672,14 +710,21 @@ def bond_order(pos, H, types, img: ImageTable, nbrs: Neighbors,
     n = pos.shape[0]
     mask = nbrs.maskb
     idx = jnp.where(mask, nbrs.idxb, 0)
-    pose = ext_positions(pos, H, img)
 
     oj = img.owner_of(idx)                       # (N, kb) owning atom of neighbor
     ti = types[:, None]
     tj = types[oj]
     b = ffd.inxn2[ti, tj]                     # bond type; valid where mask
 
-    dr = pos[:, None, :] - pose[idx]
+    # pair displacements via the CONSTANT shift table: dr = pos_i -
+    # (pos[owner] + shift@H^T).  Differentiating pose=ext_positions(pos)
+    # instead would back-scatter cotangents into the (S*n, 3) extended
+    # table and image-reduce it (~2.6 ms/pass at N=4.5k); this form
+    # scatters straight into the (n, 3) owner rows, and the H-gradient
+    # (strain virial) becomes an einsum against the gathered shifts.
+    shg = img.shift.astype(pos.dtype)[idx]       # (N, kb, 3), constant
+    dr = pos[:, None, :] - _rowtake(pos, oj) - jnp.einsum(
+        "nka,ba->nkb", shg, H, preferred_element_type=pos.dtype)
     dr2 = jnp.sum(dr * dr, axis=-1)
     # re-check the true sigma-bond cutoff (ref: bo.F90:65) — neighbor lists
     # may carry a Verlet skin margin
@@ -707,7 +752,7 @@ def bond_order(pos, H, types, img: ImageTable, nbrs: Neighbors,
 
     # --- corrected BO (ref: bo.F90:156-217)
     d1i = deltap1[:, None]
-    d1j = deltap1[oj]
+    d1j, dp2j = _rowgather2(deltap1, deltap2, oj)
     e1i = _exp(-ffd.vpar1 * d1i)
     e1j = _exp(-ffd.vpar1 * d1j)
     e2i = _exp(-ffd.vpar2 * d1i)
@@ -722,7 +767,7 @@ def bond_order(pos, H, types, img: ImageTable, nbrs: Neighbors,
 
     bopsqr = bop0 * bop0
     u4 = -ffd.pboc3[b] * (ffd.pboc4[b] * bopsqr - deltap2[:, None]) + ffd.pboc5[b]
-    u5 = -ffd.pboc3[b] * (ffd.pboc4[b] * bopsqr - deltap2[oj]) + ffd.pboc5[b]
+    u5 = -ffd.pboc3[b] * (ffd.pboc4[b] * bopsqr - dp2j) + ffd.pboc5[b]
     fn4 = _logistic(u4)
     fn5 = _logistic(u5)
     no_v13 = ffd.v13cor[b] < 1e-3
@@ -808,7 +853,9 @@ def e_lnpr(types, img, nbrs, bo: BondOrder, lp: LonePair, amask,
     sum_ovun1 = jnp.sum(
         jnp.where(bo.mask, ffd.povun1[b] * ffd.Desig[b] * bo.bo[..., 0], 0.0),
         axis=1)
-    dmdlp_j = (bo.delta - lp.deltalp)[oj]
+    # row-gather form for the per-atom -> per-pair pick (cf. _rowgather2)
+    dmj, dlj = _rowgather2(bo.delta, lp.deltalp, oj)
+    dmdlp_j = dmj - dlj
     sum_ovun2 = jnp.sum(
         jnp.where(bo.mask, dmdlp_j * (bo.bo[..., 2] + bo.bo[..., 3]), 0.0),
         axis=1)
@@ -1130,16 +1177,16 @@ def e_3body(pos, H, types, img, nbrs, bo: BondOrder, lp: LonePair, amask,
     # form takes the TPU's slow scalar-gather path; cf. ctx_qj)
     bpack = jnp.concatenate([bo.bo[..., 0:1], bo.drb],
                             axis=-1).reshape(n * kb, 4)
-    rowa = bpack[j * kb + a]
-    rowc = bpack[j * kb + c]
+    rowa = _rowtake(bpack, j * kb + a)
+    rowc = _rowtake(bpack, j * kb + c)
     dpv = bo.delta + ffd.Val[types]
     cpack = jnp.stack([
         ffd.pval3[types], ffd.pval5[types], delta_ang_n, sum_sbo1,
         prod_sbo, lp.nlp, bo.delta,
         dpv - ffd.Valval[types], dpv], axis=-1)         # (n, 9)
-    rj = cpack[j]
-    dv = cpack[al.oi][:, 8]
-    dk = cpack[al.ok][:, 8]
+    rj = _rowtake(cpack, j)
+    dv = _rowtake(cpack, al.oi)[:, 8]
+    dk = _rowtake(cpack, al.ok)[:, 8]
 
     boij_raw = rowa[:, 0]
     bojk_raw = rowc[:, 0]
@@ -1368,9 +1415,9 @@ def e_4body(pos, H, types, img, nbrs, bo: BondOrder, amask, gid,
     # packed row gathers (one (M,5) row per bond leg; cf. e_3body)
     bpack = jnp.concatenate([bo.bo[..., 0:1], bo.bo[..., 2:3], bo.drb],
                             axis=-1).reshape(n * kb, 5)
-    rowa = bpack[j * kb + a]
-    rowc = bpack[j * kb + c]
-    rowe = bpack[ok * kb + e]
+    rowa = _rowtake(bpack, j * kb + a)
+    rowc = _rowtake(bpack, j * kb + c)
+    rowe = _rowtake(bpack, ok * kb + e)
     boij_raw = rowa[:, 0]
     bojk_raw = rowc[:, 0]
     bokl_raw = rowe[:, 0]
@@ -1416,9 +1463,8 @@ def e_4body(pos, H, types, img, nbrs, bo: BondOrder, amask, gid,
     exp_tor2_kl = jnp.exp(-ptor2_ * bokl_s)
     # 2-col row gathers (the flat 1-D form takes the scalar path; the
     # barrier keeps XLA from narrowing the duplicated column — cf. ctx_qj)
-    dpack = jax.lax.optimization_barrier(
-        jnp.stack([delta_ang_n, delta_ang_n], axis=-1))
-    dajk = dpack[j][:, 0] + dpack[ok][:, 1]
+    dpack = jnp.stack([delta_ang_n, delta_ang_n], axis=-1)
+    dajk = _rowtake(dpack, j)[:, 0] + _rowtake(dpack, ok)[:, 1]
     fn10 = (1.0 - exp_tor2_ij) * (1.0 - exp_tor2_jk) * (1.0 - exp_tor2_kl)
     fn11 = _ratio23(-ptor3_ * dajk, ptor4_ * dajk)
     fn12 = jnp.exp(-pcot2_ * ((boij_s - 1.5) ** 2
@@ -1566,19 +1612,27 @@ def e_hbond_list(pos, H, types, img, nbrs, bo: BondOrder, hl: HBondList,
     if ffd.r0hb.shape[0] == 0:
         return jnp.asarray(0.0, pos.dtype)
     i, a, c = hl.i, hl.a, hl.c
-    pose = ext_positions(pos, H, img)
     j_idx = jnp.where(hl.valid, nbrs.idxb[i, a], 0)
     k_idx = jnp.where(hl.valid, nbrs.idxnb[i, c], 0)
-    bo_ij = bo.bo[i, a, 0]
+    n, kb = bo.mask.shape
+    bo_ij = _rowtake(
+        jnp.concatenate([bo.bo[..., 0:1], bo.bo[..., 0:1]],
+                        axis=-1).reshape(n * kb, 2), i * kb + a)[:, 0]
+    # ghost positions via the CONSTANT shift table (cf. bond_order): the
+    # backward scatters into the (n, 3) owner rows directly instead of
+    # the (S*n, 3) extended table + image reduction
+    shift = img.shift.astype(pos.dtype)
+    pj = _rowtake(pos, img.owner_of(j_idx)) + shift[j_idx] @ H.T
+    pk = _rowtake(pos, img.owner_of(k_idx)) + shift[k_idx] @ H.T
     # live gates: exact reference semantics under list staleness
-    rik = pos[i] - pose[k_idx]
+    rik = _rowtake(pos, i) - pk
     rik2_sg = jax.lax.stop_gradient(jnp.sum(rik * rik, axis=-1))
     valid = (hl.valid
              & (jax.lax.stop_gradient(bo_ij) > units.MINBO0)
              & (rik2_sg < units.RCHB2))
     r0, phb1_, phb2_, phb3_ = [hl.prm[:, k] for k in range(4)]
-    rij = pos[i] - pose[j_idx]
-    rjk = pose[j_idx] - pose[k_idx]
+    rij = _rowtake(pos, i) - pj
+    rjk = pj - pk
     cos_ijk, _, njk = _angle_cos(rij, rjk, valid)
     sin_xhz4 = ((1.0 - cos_ijk) * 0.5) ** 2        # sin^4(theta/2)
     exp_hb2 = jnp.exp(-phb2_ * bo_ij)
