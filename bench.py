@@ -50,7 +50,9 @@ def main():
     jax.block_until_ready(jnp.zeros(()))
     claim_sec = time.time() - t0
 
-    mc = tuple(int(x) for x in os.environ.get("BENCH_MC", "3,3,3").split(","))
+    # default = the measured single-chip sweet spot (SCALING.md round 5):
+    # full-QEq throughput peaks at N=8,064 (87k) vs N=4,536 (80k)
+    mc = tuple(int(x) for x in os.environ.get("BENCH_MC", "4,4,3").split(","))
     nsteps = int(os.environ.get("BENCH_STEPS", "50"))
     dtype = jnp.float32
     ff = ffield.parse_ffield("/root/reference/ffield")

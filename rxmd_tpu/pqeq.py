@@ -18,7 +18,7 @@ import numpy as np
 
 from . import units
 from .neighbors import ImageTable, Neighbors, ext_positions
-from .reax import FFDev
+from .reax import FFDev, _rowgather1
 
 
 class PQEqParams(NamedTuple):
@@ -217,7 +217,9 @@ def solve(pos, spos, q, qsfp, H, types, img: ImageTable, nbrs: Neighbors,
 
     def matvec(x):
         x = refresh(x)
-        xs = jnp.where(mask, x[oj], 0.0)
+        # 2-column row-gather form: the flat x[oj] embeds in a fusion as
+        # a serial scalar loop (cf. reax._rowgather1)
+        xs = jnp.where(mask, _rowgather1(x, oj), 0.0)
         return eta * x + jnp.sum(hcc * xs, axis=1)
 
     def gradient(qs, qt):
@@ -246,7 +248,7 @@ def solve(pos, spos, q, qsfp, H, types, img: ImageTable, nbrs: Neighbors,
     def electrostatic(qcur):
         qcur = refresh(qcur)
         qic = qcur + pq.Z[types]
-        qjc = jnp.where(mask, qcur[oj], 0.0) + zj
+        qjc = jnp.where(mask, _rowgather1(qcur, oj), 0.0) + zj
         pair = (0.5 * (hcc * qic[:, None] * qjc + css) + csc * qjc)
         per_atom = (chi * qcur + 0.5 * eta * qcur * qcur
                     + jnp.sum(jnp.where(mask, pair, 0.0), axis=1))

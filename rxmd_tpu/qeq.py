@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from .neighbors import ImageTable, Neighbors, ext_positions
+from . import reax
 from .reax import (FFDev, _table_lerp, _table_rows, _safe, nb_ctx,
                    cf_qeq_kernel, pair_bond_type, ctx_prm)
 
@@ -183,9 +184,11 @@ def solve(pos, q, qsfp, H, types, img: ImageTable, nbrs: Neighbors,
     def pair_energy(qcur):
         """Σ_k est_w·H_ik·q_k per atom i, ELL form (one row gather per
         call — it runs once per CG iteration, so a dense fold would cost
-        more to build than it saves).  (m,1) row-gather form: the flat 1-D
-        gather takes the TPU's slow scalar path."""
-        qj = jnp.where(mask, refresh(qcur)[:, None][oj][..., 0], 0.0)
+        more to build than it saves).  2-column row-gather form: both the
+        flat 1-D and single-column forms take the TPU's serial path
+        (cf. reax._rowgather1)."""
+        qr = refresh(qcur)
+        qj = jnp.where(mask, reax._rowgather1(qr, oj), 0.0)
         return jnp.sum(est_w * hz * qj, axis=1) * qcur
 
     # On a single shard a long CG solve is gather-bound in ELL form; fold

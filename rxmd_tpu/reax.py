@@ -679,13 +679,26 @@ def _rowtake_fwd(tab, idx):
 
 def _rowtake_bwd(res, ct):
     idx, shape = res
+    R, C = shape
     ct = jax.lax.optimization_barrier(ct)
-    g = jnp.zeros(shape, ct.dtype).at[idx].add(ct)
+    # 2-D row scatter-add: the interleaved flat R*C form and per-column
+    # 1-D forms both measured SLOWER at N=10.7k (157/139 vs 92 ms
+    # bonded-pass total) despite the layout-flip pathology the row form
+    # shows there — the row scatter is the best known lowering.
+    g = jnp.zeros((R, C), ct.dtype).at[idx].add(ct)
     return jax.lax.optimization_barrier(g), np.zeros(idx.shape,
                                                      jax.dtypes.float0)
 
 
 _rowtake.defvjp(_rowtake_fwd, _rowtake_bwd)
+
+
+def _rowgather1(vec, idx):
+    """Single-vector per-atom -> per-pair pick on the tiled row-gather
+    path (both columns consumed so XLA cannot narrow the gather back to
+    the serial 1-column form; cf. ctx_qj)."""
+    a, b = _rowgather2(vec, vec, idx)
+    return 0.5 * (a + b)
 
 
 def _rowgather2(veca, vecb, idx):
@@ -1786,14 +1799,18 @@ def e_nonbond_pqeq(pos, spos, q, H, types, img, nbrs, gid, amask, ffd: FFDev,
     """van der Waals + 4-term core/shell Coulomb + charge/shell self-energy
     (ref: ENbond_PQEq pot.F90:784-923)."""
     from .pqeq import pqeq_kernels
-    pose = ext_positions(pos, H, img)
-    spose = spos[img.owner]
     masknb = nbrs.masknb
     idx = jnp.where(masknb, nbrs.idxnb, 0)
     oj = img.owner_of(idx)
     mask = masknb & (gid[oj] < gid[:, None]) & amask[:, None]
 
-    dr = pos[:, None, :] - pose[idx]
+    # owner-row pair geometry via the constant shift table (cf.
+    # bond_order): gradients scatter into (n, 3) rows, never into the
+    # (S*n, 3) extended table
+    shg = img.shift.astype(pos.dtype)[idx]
+    dr = pos[:, None, :] - _rowtake(pos, oj) - jnp.einsum(
+        "nka,ba->nkb", shg, H, preferred_element_type=pos.dtype)
+    spose_r = _rowtake(spos, oj)     # shells ride their owner's image
     dr2 = jnp.sum(dr * dr, axis=-1)
     mask = mask & (dr2 <= ffd.rctap2)
     b = ffd.inxn2[types[:, None], types[oj]]
@@ -1807,7 +1824,7 @@ def e_nonbond_pqeq(pos, spos, q, H, types, img, nbrs, gid, amask, ffd: FFDev,
     zi = pq.Z[types][:, None]
     zj = pq.Z[tj]
     qic = q[:, None] + zi
-    qjc = jnp.where(mask, q[oj], 0.0) + zj
+    qjc = jnp.where(mask, _rowgather1(q, oj), 0.0) + zj
     polar_i = pq.is_polar[types][:, None]
     polar_j = pq.is_polar[tj]
     C0 = units.CCLMB0
@@ -1817,11 +1834,11 @@ def e_nonbond_pqeq(pos, spos, q, H, types, img, nbrs, gid, amask, ffd: FFDev,
     esc = jnp.where(mask & polar_i,
                     -C0 * pqeq_kernels(pq, pq.psc, ti, tj, drsc, mask)
                     * zi * qjc, 0.0)
-    drcs = dr - spose[idx]
+    drcs = dr - spose_r
     ecs = jnp.where(mask & polar_j,
                     -C0 * pqeq_kernels(pq, pq.psc, tj, ti, drcs, mask)
                     * qic * zj, 0.0)
-    drss = drsc - spose[idx]
+    drss = drsc - spose_r
     ess = jnp.where(mask & polar_i & polar_j,
                     C0 * pqeq_kernels(pq, pq.pss, ti, tj, drss, mask)
                     * zi * zj, 0.0)
