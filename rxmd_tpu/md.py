@@ -88,19 +88,28 @@ def probe_capacities(ff: ForceField, state: State, ffd, rctap, dtype,
         tc = reax.term_counts(state.pos, state.H, state.types, state.gid,
                               img, nbrs_skinned, ffd, slack=term_slack,
                               margin=term_margin)
-    caps = {"ang": _round_up(int(tc["ang"] * 1.3) + 64, 256),
-            "tor": _round_up(int(tc["tor"] * 1.3) + 64, 512),
-            "hb": max(_round_up(int(tc["hb"] * 1.4) + 2, 4), 4),
-            "hbf": max(_round_up(int(tc["hbf"] * 1.4) + 64, 256), 256),
+    # margins sized for EVOLVING dynamics, not the t=0 snapshot: on a 5k-
+    # step 300 K RDX NVE run the angle/torsion counts crept +8% over the
+    # first ps and the hbond candidate network grew past 1.4x (observed
+    # 113.5k vs a 111.4k cap).  Flat-list memory is cheap; the reference
+    # aborts on overflow just like we do (main.F90:402-407), so headroom
+    # is pure robustness.
+    caps = {"ang": _round_up(int(tc["ang"] * 1.5) + 64, 256),
+            "tor": _round_up(int(tc["tor"] * 1.5) + 64, 512),
+            "hb": max(_round_up(int(tc["hb"] * 1.8) + 2, 4), 4),
+            "hbf": max(_round_up(int(tc["hbf"] * 1.8) + 64, 256), 256),
             "ks": _round_up(tc["degmax"] + 2, 2),
             "kh": max(_round_up(tc.get("h_slots", 4) + 1, 2), 2),
             "kb_t": kb_t, "knb_t": knb_t,
             # per-center maxima for the two-stage list pack (rowcap):
-            # generous headroom — the staging table is cheap and a row
-            # overflow aborts the run like a cap overflow
-            "ang_row": _round_up(int(tc["ang_row"] * 1.6) + 8, 8),
-            "tor_row": _round_up(int(tc["tor_row"] * 1.6) + 8, 8),
-            "hb_row": max(_round_up(int(tc["hb"] * 1.6) + 8, 8), 8)}
+            # generous headroom — the staging table is cheap (n*rowcap
+            # int32) and a row overflow aborts the run like a cap
+            # overflow.  2.2x: per-center counts fluctuate much harder
+            # than the system totals (a 5k-step 300 K NVE run tripped a
+            # 1.6x hb_row around step 1000)
+            "ang_row": _round_up(int(tc["ang_row"] * 2.2) + 8, 8),
+            "tor_row": _round_up(int(tc["tor_row"] * 2.2) + 8, 8),
+            "hb_row": max(_round_up(int(tc["hb"] * 2.2) + 16, 8), 16)}
     return kb, knb, caps
 
 
